@@ -1,0 +1,72 @@
+"""terrarium_tpu — a TPU-native land-surface modeling framework.
+
+A from-scratch JAX/XLA/Pallas implementation with the capabilities of the
+reference Julia framework (Terrarium.jl): laterally-independent vertical soil
+columns with two-phase heat conduction, Richards-equation hydrology, surface
+energy balance, surface hydrology, and PALADYN vegetation carbon dynamics,
+over column batches or masked global ring grids.
+
+Design (TPU-first, not a port):
+
+* fields are ``(Nz, cells)`` arrays — cells on the TPU lane axis, sharded
+  across chips via `jax.sharding`; z stays local to each chip;
+* the whole model step is one pure jitted function; rollouts are `lax.scan`s;
+* differentiability via `jax.grad` + `jax.checkpoint` (replacing Enzyme);
+* explicit *and* implicit (batched tridiagonal) timesteppers.
+"""
+
+__version__ = "0.1.0"
+
+from .constants import PhysicalConstants
+from .variables import (XY, XYZ, Variable, Variables, auxiliary, input,
+                        namespace, prognostic)
+from .state import Clock, State, build_state
+from .grids import ColumnGrid, ExponentialSpacing, PrescribedSpacing, UniformSpacing, VerticalGrid
+from .ops.bcs import Dirichlet, Flux, Neumann, NoFlux, merge_boundary_conditions
+from .processes.base import Context, Process
+from .processes.soil import (
+    BrooksCorey,
+    ConstantSoilCarbonDensity,
+    ConstantSoilHydraulics,
+    ConstantSoilPorosity,
+    FreeWater,
+    HomogeneousStratigraphy,
+    InverseQuadratic,
+    NoFlow,
+    RichardsEq,
+    SoilEnergyBalance,
+    SoilEnergyTemperatureClosure,
+    SoilEnergyWaterCarbon,
+    SoilHeatCapacities,
+    SoilHydraulicsSURFEX,
+    SoilHydrology,
+    SoilPorositySURFEX,
+    SoilSaturationPressureClosure,
+    SoilTexture,
+    SoilThermalConductivities,
+    SoilThermalProperties,
+    SoilVolume,
+    UnsatKLinear,
+    UnsatKVanGenuchten,
+    VanGenuchten,
+    volumetric_fractions,
+)
+from .models import (
+    ConstantSaturation,
+    ConstantSoilTemperature,
+    DefaultInitializer,
+    FreeDrainage,
+    GeothermalHeatFlux,
+    GroundHeatFlux,
+    ImpermeableBoundary,
+    InfiltrationFlux,
+    PiecewiseLinearInitialSoilTemperature,
+    PrescribedBottomTemperature,
+    PrescribedSurfaceTemperature,
+    QuasiThermalSteadyState,
+    SaturationWaterTable,
+    SoilInitializer,
+    SoilModel,
+)
+from .timesteppers import ForwardEuler, Heun, Simulation, initialize
+from .io.input_sources import FieldInputSource, TimeSeriesInputSource

@@ -1,0 +1,10 @@
+from .boundary_conditions import (FreeDrainage, GeothermalHeatFlux,
+                                  GroundHeatFlux, ImpermeableBoundary,
+                                  InfiltrationFlux, PrescribedBottomTemperature,
+                                  PrescribedSurfaceTemperature)
+from .initializers import (ConstantSaturation, ConstantSoilTemperature,
+                           DefaultInitializer,
+                           PiecewiseLinearInitialSoilTemperature,
+                           QuasiThermalSteadyState, SaturationWaterTable,
+                           SoilInitializer, apply_field_initializers)
+from .soil_model import SoilModel

@@ -1,0 +1,88 @@
+"""Vertical boundary conditions.
+
+TPU-native replacement for the reference's Oceananigans BC machinery
+(`src/boundary_conditions.jl`, halo fills in `src/state_variables.jl:85-100`).
+Instead of filling halo regions of mutable fields, boundary conditions are
+applied *inside* the vertical operators:
+
+* :class:`Dirichlet` (Value BC) -> ghost value ``2*value - c_boundary`` so the
+  boundary-face interpolation hits ``value`` exactly (Oceananigans halo-fill
+  semantics for Value BCs).
+* :class:`Neumann` (Gradient BC) -> prescribed gradient at the boundary face.
+* :class:`Flux` -> added directly to the tendency of the boundary cell during
+  the explicit step (`compute_z_bcs!` semantics,
+  `src/timesteppers/abstract_timestepper.jl:65-77`). Sign convention matches
+  Oceananigans: fluxes point in +z, so a positive top flux cools/drains the
+  column (``tend[top] -= q/dz_top``) and a positive bottom flux feeds it
+  (``tend[bottom] += q/dz_bot``).
+* default (no BC) -> zero-gradient ghost, i.e. zero diffusive boundary flux.
+
+BC *values* may be: a Python scalar, a ``(cells,)`` array, the name of an
+input variable (string; reads ``state.inputs[name]`` each step — the
+reference's `Variable` placeholder BCs, `boundary_conditions.jl:25-28`), or a
+callable ``f(t) -> scalar | (cells,) array`` traced into the step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+__all__ = ["Dirichlet", "Neumann", "Flux", "NoFlux", "resolve_bc_value",
+           "get_bc", "merge_boundary_conditions", "FieldBCs"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Dirichlet:
+    """Value boundary condition (Oceananigans `ValueBoundaryCondition`)."""
+
+    value: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Neumann:
+    """Gradient boundary condition (Oceananigans `GradientBoundaryCondition`)."""
+
+    gradient: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Flux:
+    """Flux boundary condition (Oceananigans `FluxBoundaryCondition`).
+    Flux is in the +z direction (positive up)."""
+
+    value: Any
+
+
+def NoFlux():
+    """Zero-flux BC (Oceananigans `NoFluxBoundaryCondition`)."""
+    return Flux(0.0)
+
+
+FieldBCs = Dict[str, Dict[str, Any]]  # {var_name: {"top": bc, "bottom": bc}}
+
+
+def merge_boundary_conditions(*bcs: FieldBCs) -> FieldBCs:
+    """Recursively merge BC dicts; later args take precedence
+    (reference `boundary_conditions.jl:17`)."""
+    from ..utils.utils import merge_recursive
+
+    return merge_recursive(*bcs)
+
+
+def get_bc(bcs: Optional[FieldBCs], var: str, side: str):
+    """Look up the BC for ``var`` on ``side`` ('top'|'bottom'), or None."""
+    if not bcs:
+        return None
+    return bcs.get(var, {}).get(side, None)
+
+
+def resolve_bc_value(value, state):
+    """Evaluate a BC value spec against the current state/clock (see module
+    docstring for supported forms). Returns a scalar or ``(cells,)`` array."""
+    if isinstance(value, str):
+        return state.inputs[value] if value in state.inputs else state[value]
+    if callable(value):
+        return value(state.clock.time)
+    return jnp.asarray(value)

@@ -1,0 +1,133 @@
+"""Vertical finite-volume stencil operators.
+
+TPU-native replacement for the Oceananigans stencil operators used by the
+reference (`∂zᵃᵃᶜ`, `∂zᵃᵃᶠ`, `ℑzᵃᵃᶠ`, `Δzᵃᵃᶜ`; see SURVEY §3.3). All
+operators are vectorised over the whole ``(Nz, cells)`` block — XLA fuses the
+shifted adds/multiplies into a single VPU pass over the array, which is the
+TPU-idiomatic form of a per-point vertical stencil (z on sublanes, cells on
+lanes). ``k = 0`` is the bottom layer, ``k = Nz - 1`` the top (surface).
+
+Face arrays have shape ``(Nz + 1, cells)``; face ``f`` sits between centers
+``f - 1`` and ``f`` (face 0 = bottom boundary, face Nz = top boundary).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from .bcs import Dirichlet, Flux, Neumann, resolve_bc_value
+
+__all__ = [
+    "ghosts",
+    "grad_faces",
+    "interp_faces_mid",
+    "interp_faces_min",
+    "div_faces",
+    "apply_flux_bcs",
+]
+
+
+def ghosts(c, bc_bottom, bc_top, state, dz_faces):
+    """Compute ghost-cell values below/above the column for variable ``c``.
+
+    Replicates Oceananigans halo-fill semantics
+    (`fill_halo_regions!`, reference `state_variables.jl:85-100`):
+
+    * Dirichlet: ``ghost = 2*value - c_boundary`` (linear interpolation puts
+      ``value`` exactly on the boundary face).
+    * Neumann: ``ghost = c_boundary -/+ gradient * dz_face_boundary``.
+    * Flux / None: zero gradient (``ghost = c_boundary``); the physical flux
+      enters through the tendency instead.
+
+    Returns ``(ghost_bottom, ghost_top)``, each of shape ``(cells,)``.
+    """
+    c_bot, c_top = c[0], c[-1]
+    dzf_bot, dzf_top = dz_faces[0], dz_faces[-1]
+
+    def one(bc, c_bnd, sign, dzf):
+        if isinstance(bc, Dirichlet):
+            v = resolve_bc_value(bc.value, state)
+            return 2.0 * v - c_bnd
+        if isinstance(bc, Neumann):
+            g = resolve_bc_value(bc.gradient, state)
+            return c_bnd + sign * g * dzf
+        return c_bnd  # Flux BC or no BC: zero-gradient halo
+
+    ghost_bot = one(bc_bottom, c_bot, -1.0, dzf_bot)
+    ghost_top = one(bc_top, c_top, +1.0, dzf_top)
+    return ghost_bot, ghost_top
+
+
+def _pad_with_ghosts(c, ghost_bottom, ghost_top):
+    gb = jnp.broadcast_to(ghost_bottom, c.shape[1:])[None]
+    gt = jnp.broadcast_to(ghost_top, c.shape[1:])[None]
+    return jnp.concatenate([gb, c, gt], axis=0)  # (Nz + 2, cells)
+
+
+def grad_faces(c, dz_faces, ghost_bottom=None, ghost_top=None):
+    """``∂c/∂z`` at all faces: ``(c[f] - c[f-1]) / dz_faces[f]``
+    (Oceananigans `∂zᵃᵃᶠ`). Ghosts default to zero-gradient."""
+    if ghost_bottom is None:
+        ghost_bottom = c[0]
+    if ghost_top is None:
+        ghost_top = c[-1]
+    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
+    return (ce[1:] - ce[:-1]) / dz_faces
+
+
+def interp_faces_mid(c, ghost_bottom=None, ghost_top=None):
+    """Arithmetic-mean interpolation of a center field to all faces
+    (Oceananigans `ℑzᵃᵃᶠ`). Ghosts default to zero-gradient."""
+    if ghost_bottom is None:
+        ghost_bottom = c[0]
+    if ghost_top is None:
+        ghost_top = c[-1]
+    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
+    return 0.5 * (ce[1:] + ce[:-1])
+
+
+def interp_faces_min(c, ghost_bottom=None, ghost_top=None):
+    """Neighbor-minimum interpolation to faces (reference `min_zᵃᵃᶠ`,
+    `src/utils/kernel_utils.jl:24-25`). Ghosts default to zero-gradient."""
+    if ghost_bottom is None:
+        ghost_bottom = c[0]
+    if ghost_top is None:
+        ghost_top = c[-1]
+    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
+    return jnp.minimum(ce[1:], ce[:-1])
+
+
+def div_faces(q, dz):
+    """Center divergence of a face flux: ``(q[k+1] - q[k]) / dz[k]``
+    (Oceananigans `∂zᵃᵃᶜ` of a face quantity)."""
+    return (q[1:] - q[:-1]) / dz
+
+
+def apply_flux_bcs(tend, var_bcs, state, dz):
+    """Add Flux-BC contributions to a tendency array.
+
+    Replicates `compute_z_bcs!` (reference
+    `src/timesteppers/abstract_timestepper.jl:70-72`, Oceananigans
+    `apply_z_top/bottom_bc!`): for an XYZ tendency,
+    ``tend[top] -= q_top / dz[top]`` and ``tend[bottom] += q_bot / dz[bottom]``
+    with fluxes positive in +z. For XY tendencies (1D arrays) only a 'top'
+    Flux BC applies and ``dz`` is ignored (the quantity is per-area already).
+    """
+    if not var_bcs:
+        return tend
+    top = var_bcs.get("top")
+    bot = var_bcs.get("bottom")
+    if tend.ndim == 1:
+        if isinstance(top, Flux):
+            tend = tend - resolve_bc_value(top.value, state)
+        if isinstance(bot, Flux):
+            tend = tend + resolve_bc_value(bot.value, state)
+        return tend
+    if isinstance(top, Flux):
+        q = resolve_bc_value(top.value, state)
+        tend = tend.at[-1].add(-q / dz[-1, 0] if dz.ndim == 2 else -q / dz[-1])
+    if isinstance(bot, Flux):
+        q = resolve_bc_value(bot.value, state)
+        tend = tend.at[0].add(q / dz[0, 0] if dz.ndim == 2 else q / dz[0])
+    return tend

@@ -1,0 +1,265 @@
+"""Soil hydrology: immobile water (NoFlow) and Richards-equation flow.
+
+TPU-native equivalent of reference
+`src/processes/soil/hydrology/soil_hydrology.jl`, `soil_hydrology_rre.jl`,
+and `soil_hydraulic_closures.jl`. The reference's order-dependent
+`adjust_saturation_profile!` z-sweeps become `lax.scan`s over the z axis with
+``(cells,)`` carries (SURVEY §3.2 hard part #2); everything else is
+vectorised ``(Nz, cells)`` arithmetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .hydraulics import SoilHydraulicsSURFEX
+from ...ops.bcs import get_bc
+from ...ops.vertical_ops import div_faces, ghosts, grad_faces
+from ...variables import XY, XYZ, auxiliary, input, prognostic
+
+__all__ = ["NoFlow", "RichardsEq", "SoilSaturationPressureClosure", "SoilHydrology"]
+
+
+@dataclasses.dataclass(frozen=True)
+class NoFlow:
+    """Immobile soil water (reference `soil_hydrology.jl:13`)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class RichardsEq:
+    """Mixed saturation-pressure Richardson-Richards flow operator
+    (reference `soil_hydrology_rre.jl:18`)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class SoilSaturationPressureClosure:
+    """Saturation <-> pressure-head closure (reference
+    `soil_hydraulic_closures.jl:12`). Total head Psi = psi_m + psi_z + psi_h."""
+
+    def variables(self):
+        return (
+            auxiliary("pressure_head", XYZ(), units="m",
+                      desc="Total hydraulic pressure head in m"),
+        )
+
+    # closure/invclosure are driven by SoilHydrology (needs flow-op dispatch)
+
+
+@dataclasses.dataclass(frozen=True)
+class SoilHydrology:
+    """Soil water balance process (reference `soil_hydrology.jl:21-53`)."""
+
+    vertical_flow: Any = NoFlow()
+    closure_rel: SoilSaturationPressureClosure = SoilSaturationPressureClosure()
+    hydraulic_properties: Any = dataclasses.field(default_factory=SoilHydraulicsSURFEX)
+    vwc_forcing: Optional[Any] = None  # callable (state, grid) -> (Nz, cells)
+
+    # -- variables --------------------------------------------------------
+    def variables(self):
+        if isinstance(self.vertical_flow, RichardsEq):
+            # reference `soil_hydrology_rre.jl:20-26`
+            return (
+                prognostic("saturation_water_ice", XYZ(), closure=self.closure_rel,
+                           domain=(0.0, 1.0),
+                           desc="Saturation level of water+ice in the pore space"),
+                prognostic("surface_excess_water", XY(), units="m",
+                           desc="Excess water at the soil surface in m^3/m^2"),
+                auxiliary("hydraulic_conductivity", XYZ(face=True), units="m/s",
+                          desc="Hydraulic conductivity at cell faces"),
+                auxiliary("water_table", XY(), units="m",
+                          desc="Elevation of the water table"),
+                input("liquid_water_fraction", XYZ(), default=1.0, domain=(0.0, 1.0),
+                      desc="Fraction of unfrozen water in the pore space"),
+            )
+        # reference `soil_hydrology.jl:78-83`
+        return (
+            auxiliary("saturation_water_ice", XYZ(), domain=(0.0, 1.0),
+                      desc="Saturation level of water+ice in the pore space"),
+            auxiliary("water_table", XY(), units="m",
+                      desc="Elevation of the water table"),
+            auxiliary("hydraulic_conductivity", XYZ(face=True), units="m/s",
+                      desc="Hydraulic conductivity at cell faces"),
+            input("liquid_water_fraction", XYZ(), default=1.0, domain=(0.0, 1.0),
+                  desc="Fraction of unfrozen water in the pore space"),
+        )
+
+    # -- hydraulics -------------------------------------------------------
+    def center_hydraulic_conductivity(self, state, grid, soil):
+        """Unsaturated K at cell centers (reference `soil_hydrology_rre.jl:138-146`)."""
+        vol = soil.strat.soil_volume(soil.biogeochem, state, grid)
+        return self.hydraulic_properties.hydraulic_conductivity(vol)
+
+    def compute_hydraulics(self, state, grid, soil):
+        """Fill the face K array replicating the reference kernel exactly
+        (`soil_hydrology.jl:145-163`): bottom face = bottom-center K; interior
+        faces = min of adjacent centers; the two top faces both take the
+        top-center K (reference writes face Nz and Nz+1 from center Nz)."""
+        Kc = self.center_hydraulic_conductivity(state, grid, soil)
+        Kc = jnp.broadcast_to(Kc, (grid.nz, grid.cells))
+        K_face = jnp.concatenate([
+            Kc[:1],                                  # face 0 (bottom boundary)
+            jnp.minimum(Kc[:-2], Kc[1:-1]),          # faces 1..Nz-2
+            Kc[-1:],                                 # face Nz-1 (quirk: top-center K)
+            Kc[-1:],                                 # face Nz (top boundary)
+        ], axis=0)
+        return state.update(hydraulic_conductivity=K_face.astype(grid.nf))
+
+    # -- water table ------------------------------------------------------
+    def compute_water_table(self, state, grid):
+        """Water table = face elevation below the first (bottom-up) cell with
+        sat < 1; surface (z=0) if fully saturated (reference
+        `soil_hydrology.jl:170-175`, `findfirst_z` in `kernel_utils.jl:7-18`)."""
+        sat = state.saturation_water_ice
+        mask = sat < 1.0
+        idx = jnp.argmax(mask, axis=0)  # first True bottom-up
+        found = jnp.any(mask, axis=0)
+        zf = jnp.asarray(grid.vertical.z_faces, dtype=grid.nf)
+        wt = jnp.where(found, zf[idx], zf[-1])
+        return state.update(water_table=wt)
+
+    # -- saturation adjustment -------------------------------------------
+    def adjust_saturation_profile(self, state, grid):
+        """Mass-conserving redistribution of over/under-saturation
+        (reference `soil_hydrology.jl:185-218`): an upward sweep pushes excess
+        water up (rescaled by thickness ratio), a downward sweep pulls
+        deficits from below; residual surface excess goes to the
+        `surface_excess_water` pool; a residual bottom deficit is clipped.
+
+        Implemented as two `lax.scan`s over z with ``(cells,)`` water-column
+        carries — the TPU-idiomatic form of the reference's sequential
+        per-column loops."""
+        sat = state.saturation_water_ice
+        dz = grid.dz  # (Nz, 1)
+        dz_col = jnp.broadcast_to(dz, sat.shape)
+
+        # upward sweep (bottom -> top): carry = excess water column [m]
+        def up(carry, xs):
+            s, d = xs
+            s = s + carry / d
+            excess = jnp.maximum(s - 1.0, 0.0)
+            return excess * d, s - excess
+
+        carry_top, sat_up = jax.lax.scan(
+            up, jnp.zeros(sat.shape[1:], dtype=sat.dtype), (sat, dz_col))
+
+        # surface excess pool gets what spilled past the top layer
+        # (the top layer's excess was already removed by the sweep)
+        surf = None
+        if "surface_excess_water" in state:
+            surf = state.surface_excess_water + carry_top
+
+        # downward sweep (top -> bottom): carry = deficit water column [m]
+        def down(carry, xs):
+            s, d = xs
+            s = s - carry / d
+            deficit = jnp.maximum(-s, 0.0)
+            return deficit * d, s + deficit
+
+        carry_bot, sat_dn_rev = jax.lax.scan(
+            down, jnp.zeros(sat.shape[1:], dtype=sat.dtype),
+            (sat_up[::-1], dz_col[::-1]))
+        sat_new = sat_dn_rev[::-1]
+        # bottom deficit clipped to zero (mass-balance violation warning case)
+        sat_new = sat_new.at[0].set(jnp.maximum(sat_new[0], 0.0))
+
+        updates = {"saturation_water_ice": sat_new}
+        if surf is not None:
+            updates["surface_excess_water"] = surf
+        return state.update(updates)
+
+    # -- interface --------------------------------------------------------
+    def initialize(self, state, grid, soil, constants, ctx):
+        if isinstance(self.vertical_flow, RichardsEq):
+            # reference `soil_hydrology_rre.jl:33-47`: closure from initial
+            # saturation, then auxiliaries
+            state = self.closure(state, grid, soil, constants, ctx)
+            return self.compute_hydraulics(state, grid, soil)
+        # NoFlow (reference `soil_hydrology.jl:113-117`)
+        state = self.compute_hydraulics(state, grid, soil)
+        return self.compute_water_table(state, grid)
+
+    def compute_auxiliary(self, state, grid, soil, constants, ctx):
+        return self.compute_hydraulics(state, grid, soil)
+
+    def compute_tendencies(self, state, grid, soil, constants, ctx):
+        if not isinstance(self.vertical_flow, RichardsEq):
+            return state  # NoFlow: no tendencies (reference `soil_hydrology.jl:126`)
+        evtr = getattr(ctx.extras, "evapotranspiration", None) if ctx.extras else None
+        runoff = getattr(ctx.extras, "runoff", None) if ctx.extras else None
+
+        # Darcy flux divergence (reference `soil_hydrology_rre.jl:95-131`)
+        psi = state.pressure_head
+        bc_bot = get_bc(ctx.bcs, "pressure_head", "bottom")
+        bc_top = get_bc(ctx.bcs, "pressure_head", "top")
+        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces[:, 0])
+        grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
+        K = state.hydraulic_conductivity  # face array (Nz+1, cells)
+        K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)  # clamped shift
+        K_above = jnp.concatenate([K[1:], K[-1:]], axis=0)
+        # min of conductivities in the direction of flow
+        K_eff = jnp.where(grad < 0.0, jnp.minimum(K_below, K),
+                          jnp.minimum(K, K_above))
+        q = -K_eff * grad
+        dtheta_dt = -div_faces(q, grid.dz)
+
+        # ET sink in the top layer (reference `evapotranspiration_base.jl:9-15`)
+        if evtr is not None:
+            dtheta_dt = dtheta_dt.at[-1].add(
+                evtr.soil_moisture_sink(state, grid, constants) / grid.dz[-1, 0])
+        # generic user forcing (reference `soil_hydrology.jl:245-257`)
+        if self.vwc_forcing is not None:
+            dtheta_dt = dtheta_dt + self.vwc_forcing(state, grid)
+
+        # rescale by porosity -> saturation tendency (reference
+        # `soil_hydrology.jl:222-237`)
+        por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        state = state.add_tendencies(saturation_water_ice=dtheta_dt / por)
+
+        # surface excess pool drainage (reference `soil_hydrology.jl:260-283`)
+        S = state.surface_excess_water
+        dSdt = runoff.surface_drainage(S) if runoff is not None else jnp.zeros_like(S)
+        state = state.add_tendencies(surface_excess_water=jnp.minimum(dSdt, S))
+        return state
+
+    # -- closure ----------------------------------------------------------
+    def _psi_components(self, state, grid):
+        z = grid.z_centers  # (Nz, 1)
+        # z_ref = surface face elevation = 0 (reference
+        # `soil_hydraulic_closures.jl:86`)
+        psi_z = z - grid.vertical.z_faces[-1]
+        z0 = state.water_table  # (cells,)
+        psi_h = jnp.maximum(0.0, z0[None, :] - z)
+        return psi_z, psi_h
+
+    def closure(self, state, grid, soil, constants, ctx=None):
+        """saturation -> pressure head (reference
+        `soil_hydraulic_closures.jl:23-44`): adjust profile, update water
+        table, then Psi = psi_h + psi_m + psi_z."""
+        if not isinstance(self.vertical_flow, RichardsEq):
+            return state  # closure only defined for Richards flow
+        state = self.adjust_saturation_profile(state, grid)
+        state = self.compute_water_table(state, grid)
+        por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        sat = state.saturation_water_ice
+        swrc = self.hydraulic_properties.swrc
+        psi_m = swrc.inverse(sat * por, por)
+        psi_z, psi_h = self._psi_components(state, grid)
+        return state.update(pressure_head=psi_h + psi_m + psi_z)
+
+    def invclosure(self, state, grid, soil, constants, ctx=None):
+        """pressure head -> saturation (reference
+        `soil_hydraulic_closures.jl:51-100`), then adjust + water table."""
+        if not isinstance(self.vertical_flow, RichardsEq):
+            return state
+        psi = state.pressure_head
+        psi_z, psi_h = self._psi_components(state, grid)
+        psi_m = psi - psi_h - psi_z
+        por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        swrc = self.hydraulic_properties.swrc
+        theta = swrc(psi_m, por)
+        state = state.update(saturation_water_ice=theta / por)
+        state = self.adjust_saturation_profile(state, grid)
+        return self.compute_water_table(state, grid)

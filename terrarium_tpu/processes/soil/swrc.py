@@ -1,0 +1,70 @@
+"""Soil water retention curves (SWRC).
+
+The reference re-exports `VanGenuchten` / `BrooksCorey` from FreezeCurves.jl
+(`src/Terrarium.jl:42,72`); since that package is external we implement the
+standard formulations here. A SWRC maps matric pressure head ``psi_m`` [m] to
+volumetric water(+ice) content ``theta`` in ``[theta_res, theta_sat]`` and
+back (used by the saturation<->pressure closure,
+`src/processes/soil/hydrology/soil_hydraulic_closures.jl`).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+__all__ = ["VanGenuchten", "BrooksCorey"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VanGenuchten:
+    """Van Genuchten (1980) retention curve.
+
+    theta(psi) = theta_res + (theta_sat - theta_res) * (1 + (-alpha*psi)^n)^(-m)
+    for psi < 0, theta_sat otherwise, with m = 1 - 1/n.
+    """
+
+    alpha: float = 4.0  # inverse air-entry suction [1/m]
+    n: float = 2.0  # pore-size distribution index
+    theta_res: float = 0.0  # residual water content
+
+    def __call__(self, psi, theta_sat):
+        m = 1.0 - 1.0 / self.n
+        psi_neg = jnp.minimum(psi, 0.0)
+        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * (
+            1.0 + (-self.alpha * psi_neg) ** self.n) ** (-m)
+        return jnp.where(psi < 0.0, theta_unsat, theta_sat)
+
+    def inverse(self, theta, theta_sat):
+        """psi_m(theta); returns 0 at/above saturation."""
+        m = 1.0 - 1.0 / self.n
+        se = (theta - self.theta_res) / (theta_sat - self.theta_res)
+        se = jnp.clip(se, 1e-8, 1.0)
+        psi = -(1.0 / self.alpha) * (se ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
+        return jnp.where(se >= 1.0, 0.0, psi)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrooksCorey:
+    """Brooks & Corey (1964) retention curve.
+
+    theta(psi) = theta_res + (theta_sat - theta_res) * (psi_s / -psi)^lambda
+    for psi < -psi_s, theta_sat otherwise. ``psi_s`` is the (positive)
+    air-entry suction in meters.
+    """
+
+    psi_s: float = 0.01  # air-entry suction [m]
+    lam: float = 0.2  # pore-size distribution index
+    theta_res: float = 0.0
+
+    def __call__(self, psi, theta_sat):
+        psi_safe = jnp.minimum(psi, -self.psi_s)
+        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * (
+            self.psi_s / -psi_safe) ** self.lam
+        return jnp.where(psi < -self.psi_s, theta_unsat, theta_sat)
+
+    def inverse(self, theta, theta_sat):
+        se = (theta - self.theta_res) / (theta_sat - self.theta_res)
+        se = jnp.clip(se, 1e-8, 1.0)
+        psi = -self.psi_s * se ** (-1.0 / self.lam)
+        return jnp.where(se >= 1.0, 0.0, psi)

@@ -1,0 +1,156 @@
+"""Simulation driver.
+
+TPU-native equivalent of the reference `ModelIntegrator`
+(`src/timesteppers/model_integrator.jl`). The hot loop is a single jitted
+step function; multi-step rollouts run under `jax.lax.scan` with the state
+donated, so the whole simulation executes on-device without host round-trips
+(replacing the reference's per-step kernel-launch loop, `run!` at
+`model_integrator.jl:72-88`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+
+from .stepping import ForwardEuler, update_state
+from ..state import State, build_state
+from ..utils.utils import convert_dt
+from ..variables import Variables, variables_of
+from ..io.input_sources import collect_input_variables
+
+__all__ = ["Simulation", "initialize"]
+
+
+class Simulation:
+    """Holds the model, state, forcing, timestepper, and compiled step.
+
+    Unlike the reference's mutable integrator, the state is an immutable
+    pytree; `step`/`run` replace it functionally. I/O-observing runs use
+    chunked scans with host callbacks between chunks.
+    """
+
+    def __init__(self, model, timestepper, state: State, input_sources=(),
+                 bcs=None, initializers=None):
+        self.model = model
+        self.timestepper = timestepper
+        self.state = state
+        self.input_sources = tuple(input_sources)
+        self.bcs = bcs or {}
+        self.initializers = initializers or {}
+        self.ctx = model.make_context(bcs=self.bcs)
+        self._step_fn = None
+        self._rollout_fns = {}
+
+    # -- compiled step ----------------------------------------------------
+    @property
+    def step_fn(self):
+        if self._step_fn is None:
+            model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
+                                       self.input_sources)
+
+            @jax.jit
+            def step(state, dt):
+                return ts.step(model, state, ctx, sources, dt)
+
+            self._step_fn = step
+        return self._step_fn
+
+    def _rollout_fn(self, n_inner: int):
+        if n_inner not in self._rollout_fns:
+            model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
+                                       self.input_sources)
+
+            @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+            def rollout(state, dt, n):
+                def body(s, _):
+                    return ts.step(model, s, ctx, sources, dt), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n)
+                return state
+
+            self._rollout_fns[n_inner] = partial(rollout, n=n_inner)
+        return self._rollout_fns[n_inner]
+
+    # -- public API (mirrors `model_integrator.jl`) -----------------------
+    @property
+    def current_time(self):
+        return float(self.state.clock.time)
+
+    @property
+    def iteration(self):
+        return int(self.state.clock.iteration)
+
+    def timestep(self, dt=None, finalize=True):
+        """Advance one step (reference `timestep!`, `model_integrator.jl:125-131`)."""
+        dt = convert_dt(dt) if dt is not None else self.timestepper.default_dt()
+        self.state = self.step_fn(self.state, dt)
+        if finalize:
+            self.compute_auxiliary()
+        return self
+
+    def compute_auxiliary(self):
+        self.state = jax.jit(
+            lambda s: self.model.compute_auxiliary(s, self.ctx))(self.state)
+        return self
+
+    def run(self, steps: Optional[int] = None, period=None, dt=None,
+            callbacks: Sequence = (), callback_interval: int = 0):
+        """Run for ``steps`` or a time ``period`` (reference `run!`,
+        `model_integrator.jl:72-88`). Without callbacks the whole rollout is
+        one on-device `lax.scan`; with callbacks the scan is chunked at the
+        callback interval and each callback receives ``(sim)`` on host."""
+        dt = convert_dt(dt) if dt is not None else self.timestepper.default_dt()
+        if steps is None:
+            if period is None:
+                raise ValueError("either `steps` or `period` must be specified")
+            steps = int(convert_dt(period) // dt)
+        if callbacks and callback_interval > 0:
+            done = 0
+            while done < steps:
+                n = min(callback_interval, steps - done)
+                self.state = self._rollout_fn(n)(self.state, dt)
+                done += n
+                self.compute_auxiliary()
+                for cb in callbacks:
+                    cb(self)
+        else:
+            self.state = self._rollout_fn(int(steps))(self.state, dt)
+            self.compute_auxiliary()
+        return self
+
+    def reinitialize(self):
+        """Reset state to initial conditions (reference `initialize!`,
+        `model_integrator.jl:96-109`)."""
+        self.state = _initial_state(self.model, self.input_sources,
+                                    self.initializers, self.ctx)
+        return self
+
+
+def _initial_state(model, input_sources, initializers, ctx) -> State:
+    from ..models.initializers import apply_field_initializers
+
+    variables = Variables.of(model, collect_input_variables(input_sources))
+    state = build_state(variables, model.grid)
+    # seed inputs (reference `model_integrator.jl:101-103`)
+    for src in input_sources:
+        state = src.initialize_inputs(state)
+    # user field initializers (reference `model_integrator.jl:106`)
+    state = apply_field_initializers(state, model.grid, initializers)
+    # model + process initializers (reference `model_integrator.jl:108`)
+    state = model.initialize(state, ctx)
+    return state
+
+
+def initialize(model, timestepper=None, input_sources=(), *, initializers=None,
+               boundary_conditions=None) -> Simulation:
+    """Create and initialize a :class:`Simulation`
+    (reference `initialize`, `model_integrator.jl:145-161`)."""
+    timestepper = timestepper if timestepper is not None else ForwardEuler()
+    sim = Simulation(model, timestepper, state=None,
+                     input_sources=input_sources, bcs=boundary_conditions,
+                     initializers=initializers)
+    sim.state = _initial_state(model, sim.input_sources, sim.initializers, sim.ctx)
+    return sim

@@ -1,0 +1,100 @@
+"""Explicit timesteppers and the step-function factory.
+
+TPU-native equivalent of reference `src/timesteppers/`
+(`abstract_timestepper.jl`, `forward_euler.jl`, `heun.jl`). Each stepper is a
+pure function ``state -> state``; the whole step is traced once under
+``jax.jit`` and the rollout runs as a `lax.scan` (see
+:mod:`terrarium_tpu.timesteppers.integrator`). The Heun stage copy of the
+reference (`heun.jl:22-25`) is unnecessary: immutability gives stages for free.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..ops.vertical_ops import apply_flux_bcs
+from ..state import State, reset_tendencies
+
+__all__ = ["ForwardEuler", "Heun", "explicit_step", "update_state"]
+
+
+def explicit_step(state: State, grid, bcs, dt) -> State:
+    """``u += du/dt * dt`` for every prognostic variable, after adding
+    Flux-BC contributions to the tendencies (reference
+    `abstract_timestepper.jl:65-141`, `compute_z_bcs!`). Recurses into
+    namespaces."""
+    tend = dict(state.tendencies)
+    prog = dict(state.prognostic)
+    for name in prog:
+        var_bcs = (bcs or {}).get(name)
+        if var_bcs:
+            tend[name] = apply_flux_bcs(tend[name], var_bcs, state, grid.dz)
+        prog[name] = prog[name] + tend[name] * dt
+    state = dataclasses.replace(state, prognostic=prog, tendencies=tend)
+    if state.namespaces:
+        ns = {k: explicit_step(v, grid, bcs, dt) for k, v in state.namespaces.items()}
+        state = dataclasses.replace(state, namespaces=ns)
+    return state
+
+
+def update_state(model, state: State, ctx, input_sources=()) -> State:
+    """reset tendencies -> update inputs -> compute auxiliary -> compute
+    tendencies (reference `state_variables.jl:72-80`). Halo fills are implicit
+    in the BC-aware operators."""
+    state = reset_tendencies(state)
+    for src in input_sources:
+        state = src.update_inputs(state)
+    state = model.compute_auxiliary(state, ctx)
+    state = model.compute_tendencies(state, ctx)
+    return state
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardEuler:
+    """First-order explicit Euler (reference `forward_euler.jl:6-31`)."""
+
+    dt: float = 300.0
+
+    def default_dt(self):
+        return self.dt
+
+    def step(self, model, state: State, ctx, input_sources, dt) -> State:
+        grid = model.grid
+        state = update_state(model, state, ctx, input_sources)
+        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = model.timestep(state, ctx, dt)
+        state = model.closure(state, ctx)
+        return state.tick(dt)
+
+
+@dataclasses.dataclass(frozen=True)
+class Heun:
+    """Second-order Heun / improved Euler (reference `heun.jl:37-71`):
+    predictor step, tendency recomputation at the predicted state, tendency
+    averaging, corrector step."""
+
+    dt: float = 300.0
+
+    def default_dt(self):
+        return self.dt
+
+    def step(self, model, state: State, ctx, input_sources, dt) -> State:
+        grid = model.grid
+        state = update_state(model, state, ctx, input_sources)
+
+        # predictor stage (functional: no explicit stage copy needed)
+        stage = explicit_step(state, grid, ctx.bcs, dt)
+        stage = model.timestep(stage, ctx, dt)
+        stage = model.closure(stage, ctx)
+        stage = stage.tick(dt)
+        stage = update_state(model, stage, ctx, input_sources)
+
+        # average tendencies (reference `heun.jl:24-35`)
+        avg = {k: 0.5 * (state.tendencies[k] + stage.tendencies[k])
+               for k in state.tendencies}
+        state = dataclasses.replace(state, tendencies=avg)
+
+        # corrector
+        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = model.timestep(state, ctx, dt)
+        state = model.closure(state, ctx)
+        return state.tick(dt)
