@@ -1,0 +1,107 @@
+"""Benchmark: global soil heat + Richards water on the N145 land mask.
+
+Reproduces the reference benchmark protocol
+(`test/benchmarks/gpu/soil_heat_hydrology_global.jl:39-103`): SoilModel with
+heat conduction + Richards hydrology, Nz=30 ExponentialSpacing, dt=60 s,
+measuring throughput over the packed land cells of the ERA5-land N145 mask.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: grid-points * steps / second / chip (lateral cells per BASELINE.json).
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against the first recorded value of this harness (1.0 on the initial run).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def n145_land_cells(default=24572):
+    """Count land cells in the shipped ERA5-land N145 mask."""
+    try:
+        import h5py
+
+        with h5py.File("/root/reference/inputs/era5-land_land_sea_mask_N145.nc", "r") as f:
+            lsm = np.asarray(f["lsm"][0])
+        return int((lsm > 0.5).sum())
+    except Exception:
+        return default
+
+
+def main():
+    import jax
+
+    import terrarium_tpu as tt
+
+    cells = n145_land_cells()
+    nz = 30
+    dt = 60.0
+
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    hydrology = tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(),
+        hydraulic_properties=tt.ConstantSoilHydraulics(
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten()))
+    soil = tt.SoilEnergyWaterCarbon(hydrology=hydrology)
+    model = tt.SoilModel(grid=grid, soil=soil)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=dt),
+        initializers={
+            "temperature": lambda x, z: 1.0 + 0.0 * z,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z),
+        },
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            lambda t: 5.0 * jax.numpy.sin(2 * jax.numpy.pi * t / 86400.0)),
+    )
+
+    steps_per_block = 60  # one simulated hour per timed block
+    roll = sim._rollout_fn(steps_per_block)
+
+    def sync(state):
+        # force full materialization with a device->host transfer;
+        # block_until_ready does not reliably block on the axon backend
+        return float(np.asarray(jax.numpy.sum(state.prognostic["internal_energy"])))
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    sim.state = roll(sim.state, dt)
+    sync(sim.state)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sim.state = roll(sim.state, dt)
+        sync(sim.state)
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    steps_per_s = steps_per_block / med
+    value = cells * steps_per_s  # grid-points * steps / s / chip
+
+    # SYPD at dt=60s for context (reference harness metric)
+    sypd = steps_per_s * dt / 86400.0 / 365.0 * 365.0  # = simulated days/day... keep simple:
+    sypd = (steps_per_s * dt) / (365.0 * 86400.0) * 86400.0  # sim-years per wall-day
+    assert np.all(np.isfinite(np.asarray(sim.state.temperature)))
+
+    print(json.dumps({
+        "metric": "gridpoints_steps_per_s_per_chip_n145_heat_richards",
+        "value": round(value, 1),
+        "unit": "cells*steps/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "cells": cells, "nz": nz, "dt_s": dt,
+            "median_s_per_sim_hour": round(med, 4),
+            "sypd": round(sypd, 2),
+            "compile_s": round(compile_s, 2),
+            "backend": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Sharding of the packed cell dimension over a TPU device mesh.
+
+The reference has no distributed execution (SURVEY §2.11); its only
+parallelism is per-cell data parallelism on a single device. The TPU-native
+equivalent: the packed ``cells`` axis (the trailing axis of every field) is
+domain-decomposed over chips with `jax.sharding.NamedSharding`. Per-column
+physics has no lateral dependencies, so the step runs collective-free;
+collectives appear only in global diagnostics (means/integrals) and at I/O
+boundaries (gather for output, scatter for forcing).
+
+``z`` (the leading axis) stays whole on every chip — vertical stencils and
+tridiagonal solves remain local, which is the speed-of-light layout for this
+model family.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["cell_mesh", "shard_state", "state_shardings", "replicate"]
+
+CELL_AXIS = "cells"
+
+
+def cell_mesh(devices=None, axis_name: str = CELL_AXIS) -> Mesh:
+    """Build a 1D mesh over all (or the given) devices for the cell axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def _spec_for(leaf, axis_name: str) -> P:
+    """Shard the trailing axis (cells) of any field array; replicate scalars."""
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0:
+        return P()
+    return P(*([None] * (ndim - 1) + [axis_name]))
+
+
+def state_shardings(state, mesh: Mesh, axis_name: str = CELL_AXIS):
+    """A pytree of NamedShardings matching ``state``: every field sharded on
+    its trailing (cells) axis, clock scalars replicated."""
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _spec_for(leaf, axis_name)), state)
+
+
+def shard_state(state, mesh: Optional[Mesh] = None, axis_name: str = CELL_AXIS):
+    """Place a state pytree on the mesh, cells-sharded.
+
+    Note: for uneven ``cells % n_devices`` remainders, pad the packed cell
+    array at grid construction (``ColumnRingGrid`` pads to a multiple of the
+    requested shard count; padded cells are masked out of diagnostics).
+    """
+    mesh = mesh if mesh is not None else cell_mesh()
+    return jax.device_put(state, state_shardings(state, mesh, axis_name))
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    mesh = mesh if mesh is not None else cell_mesh()
+    return jax.device_put(tree, NamedSharding(mesh, P()))
