@@ -68,5 +68,5 @@ from .models import (
     SoilInitializer,
     SoilModel,
 )
-from .timesteppers import ForwardEuler, Heun, Simulation, initialize
+from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initialize
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource

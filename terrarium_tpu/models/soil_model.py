@@ -51,6 +51,9 @@ class SoilModel:
     def invclosure(self, state, ctx):
         return self.soil.invclosure(state, self.grid, ctx)
 
+    def implicit_terms(self, state, ctx):
+        return self.soil.implicit_terms(state, self.grid, ctx)
+
     def timestep(self, state, ctx, dt):
         """Post-step hook (clipping etc.); default no-op
         (reference `abstract_timestepper.jl:47`)."""

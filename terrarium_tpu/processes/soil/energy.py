@@ -138,6 +138,29 @@ class SoilEnergyBalance:
         vol = soil.strat.soil_volume(soil.biogeochem, state, grid)
         return self.thermal_properties.thermal_conductivity(vol)
 
+    def implicit_diffusion_terms(self, state, grid, soil, constants, ctx):
+        """Jacobian ingredients for the implicit heat solve: face kappa and
+        D = dT/dU, which is 1/C outside the phase-change plateau and 0 inside
+        it (the exact subgradient structure of the free-water closure)."""
+        from ...timesteppers.implicit import ImplicitDiffusionTerms
+
+        kappa = self.thermal_conductivity(state, grid, soil)
+        kappa = jnp.broadcast_to(kappa, (grid.nz, grid.cells))
+        kappa_f = interp_faces_mid(kappa)
+        U = state.internal_energy
+        L = constants.rho_w * constants.L_sl
+        por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        sat = state.saturation_water_ice
+        L_theta = L * sat * por
+        vol = soil.strat.soil_volume(soil.biogeochem, state, grid)
+        C = self.thermal_properties.heat_capacity(vol)
+        in_plateau = (U >= -L_theta) & (U < 0.0)
+        D = jnp.where(in_plateau, 0.0, 1.0 / C)
+        D = jnp.broadcast_to(D, (grid.nz, grid.cells))
+        return ImplicitDiffusionTerms(
+            var="internal_energy", K_faces=kappa_f, D=D,
+            scale=jnp.ones((), dtype=grid.nf), phi_var="temperature")
+
     def closure(self, state, grid, soil, constants, ctx):
         return self.closure_rel.closure(state, grid, self, soil, constants)
 

@@ -224,6 +224,37 @@ class SoilHydrology:
         state = state.add_tendencies(surface_excess_water=jnp.minimum(dSdt, S))
         return state
 
+    def implicit_diffusion_terms(self, state, grid, soil, constants, ctx):
+        """Jacobian ingredients for the implicit Richards solve: upwinded
+        face conductivities frozen at t^n (one Picard iteration) and
+        D = d(Psi)/d(sat) = psi_m'(theta) * por; tendency scale 1/por."""
+        if not isinstance(self.vertical_flow, RichardsEq):
+            return None
+        from ...timesteppers.implicit import ImplicitDiffusionTerms
+
+        psi = state.pressure_head
+        bc_bot = get_bc(ctx.bcs, "pressure_head", "bottom")
+        bc_top = get_bc(ctx.bcs, "pressure_head", "top")
+        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces[:, 0])
+        grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
+        K = state.hydraulic_conductivity
+        K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)
+        K_above = jnp.concatenate([K[1:], K[-1:]], axis=0)
+        K_eff = jnp.where(grad < 0.0, jnp.minimum(K_below, K),
+                          jnp.minimum(K, K_above))
+
+        por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        sat = state.saturation_water_ice
+        swrc = self.hydraulic_properties.swrc
+        theta = sat * por
+        D = swrc.inverse_deriv(theta, por) * por
+        D = jnp.broadcast_to(D, (grid.nz, grid.cells))
+        scale = jnp.broadcast_to(jnp.asarray(1.0 / por, dtype=grid.nf),
+                                 (grid.nz, grid.cells))
+        return ImplicitDiffusionTerms(
+            var="saturation_water_ice", K_faces=K_eff, D=D, scale=scale,
+            phi_var="pressure_head")
+
     # -- closure ----------------------------------------------------------
     def _psi_components(self, state, grid):
         z = grid.z_centers  # (Nz, 1)

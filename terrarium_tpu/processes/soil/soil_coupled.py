@@ -59,6 +59,18 @@ class SoilEnergyWaterCarbon:
         state = self.energy.closure(state, grid, self, c, ctx)
         return state
 
+    def implicit_terms(self, state, grid, ctx):
+        """Collect implicit-diffusion Jacobian terms from sub-processes
+        (energy heat conduction + Richards flow), for the ImplicitEuler
+        stepper (new capability; reference has only explicit steppers)."""
+        c = ctx.constants
+        terms = []
+        t = self.hydrology.implicit_diffusion_terms(state, grid, self, c, ctx)
+        if t is not None:
+            terms.append(t)
+        terms.append(self.energy.implicit_diffusion_terms(state, grid, self, c, ctx))
+        return tuple(terms)
+
     def invclosure(self, state, grid, ctx):
         """hydrology then energy (reference `soil_coupled.jl:120-130`)."""
         c = ctx.constants

@@ -43,6 +43,19 @@ class VanGenuchten:
         psi = -(1.0 / self.alpha) * (se ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
         return jnp.where(se >= 1.0, 0.0, psi)
 
+    def inverse_deriv(self, theta, theta_sat, clamp=1.0e6):
+        """d(psi_m)/d(theta), clamped; 0 at/above saturation (used by the
+        implicit stepper's Jacobian linearization)."""
+        m = 1.0 - 1.0 / self.n
+        dth = theta_sat - self.theta_res
+        se = jnp.clip((theta - self.theta_res) / dth, 1e-6, 1.0 - 1e-9)
+        core = (se ** (-1.0 / m) - 1.0)
+        dpsi_dse = (1.0 / (self.alpha * self.n * m)) * core ** ((1.0 - self.n) / self.n) \
+            * se ** (-(1.0 + m) / m)
+        d = dpsi_dse / dth
+        sat_mask = (theta - self.theta_res) / dth >= 1.0
+        return jnp.where(sat_mask, 0.0, jnp.clip(d, 0.0, clamp))
+
 
 @dataclasses.dataclass(frozen=True)
 class BrooksCorey:
@@ -68,3 +81,11 @@ class BrooksCorey:
         se = jnp.clip(se, 1e-8, 1.0)
         psi = -self.psi_s * se ** (-1.0 / self.lam)
         return jnp.where(se >= 1.0, 0.0, psi)
+
+    def inverse_deriv(self, theta, theta_sat, clamp=1.0e6):
+        """d(psi_m)/d(theta), clamped; 0 at/above saturation."""
+        dth = theta_sat - self.theta_res
+        se_raw = (theta - self.theta_res) / dth
+        se = jnp.clip(se_raw, 1e-6, 1.0)
+        d = (self.psi_s / self.lam) * se ** (-1.0 / self.lam - 1.0) / dth
+        return jnp.where(se_raw >= 1.0, 0.0, jnp.clip(d, 0.0, clamp))

@@ -1,0 +1,146 @@
+"""Implicit (linearized backward-Euler) timestepper with batched tridiagonal
+solves.
+
+**New capability relative to the reference**, which only ships explicit
+steppers (SURVEY §2.3, BASELINE config #2). The diffusion operators (heat
+conduction and Richards flow) are stepped implicitly per column:
+
+    (I/dt - J) du = tend(u^n),   u^{n+1} = u^n + du
+
+where ``tend`` is the full explicit tendency at t^n (so all couplings,
+forcings, and Flux BCs enter through the right-hand side exactly as in the
+explicit steppers) and ``J`` is the tridiagonal Jacobian of the diffusive
+flux divergence, linearized via the chain factor ``D_k = d(phi)/d(u)``:
+
+* heat:    u = internal_energy, phi = temperature, D = dT/dU in {1/C, 0}
+  (the phase-change plateau has D = 0, so freezing cells absorb energy at
+  fixed temperature — the apparent-heat-capacity treatment of the free-water
+  freeze curve that the reference sidesteps by being explicit);
+* Richards: u = saturation, phi = total head Psi, D = psi_m'(theta) * por,
+  with the tendency scale 1/por and the face conductivities frozen at t^n
+  (one Picard iteration).
+
+A Dirichlet BC on phi contributes ``2 K D / (dzf dz)`` to the boundary-row
+diagonal (ghost-cell linearization); Neumann/Flux BCs contribute nothing
+implicit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .stepping import explicit_step, update_state
+from ..ops.bcs import Dirichlet, get_bc
+from ..ops.tridiag import tridiag_solve
+from ..ops.vertical_ops import apply_flux_bcs
+from ..state import State
+
+__all__ = ["ImplicitEuler", "ImplicitDiffusionTerms"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitDiffusionTerms:
+    """Jacobian ingredients for one prognostic variable's diffusion operator.
+
+    Attributes:
+        var: prognostic variable name.
+        K_faces: ``(Nz+1, cells)`` face conductivities of the flux
+            ``q = -K d(phi)/dz``.
+        D: ``(Nz, cells)`` chain factor d(phi)/d(u) at cell centers.
+        scale: tendency scale ``(Nz, cells)`` or scalar (e.g. 1/porosity).
+        phi_var: name of the flux potential variable (for BC lookup).
+    """
+
+    var: str
+    K_faces: jnp.ndarray
+    D: jnp.ndarray
+    scale: jnp.ndarray
+    phi_var: str
+
+
+def _solve_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
+    """Assemble (I/dt - J) and solve for du given the current tendency."""
+    Kf, D, s = terms.K_faces, terms.D, terms.scale
+    dz = grid.dz  # (Nz, 1)
+    dzf = grid.dz_faces  # (Nz+1, 1)
+    nz = grid.nz
+
+    K_lo = Kf[:-1]  # face below cell k (f = k)
+    K_hi = Kf[1:]  # face above cell k (f = k+1)
+    dzf_lo = dzf[:-1]
+    dzf_hi = dzf[1:]
+
+    # off-diagonals (interior faces only; boundary rows get 0 there)
+    a = -(s * K_lo * jnp.roll(D, 1, axis=0) / (dzf_lo * dz))
+    c = -(s * K_hi * jnp.roll(D, -1, axis=0) / (dzf_hi * dz))
+    a = a.at[0].set(0.0)
+    c = c.at[-1].set(0.0)
+
+    # diagonal: interior-face terms
+    diag_lo = s * K_lo * D / (dzf_lo * dz)
+    diag_hi = s * K_hi * D / (dzf_hi * dz)
+    diag_lo = diag_lo.at[0].set(0.0)
+    diag_hi = diag_hi.at[-1].set(0.0)
+    b = 1.0 / dt + diag_lo + diag_hi
+
+    # Dirichlet phi BCs: ghost = 2*value - interior => extra 2*K*D/(dzf*dz)
+    bc_bot = get_bc(bcs, terms.phi_var, "bottom")
+    bc_top = get_bc(bcs, terms.phi_var, "top")
+    if isinstance(bc_bot, Dirichlet):
+        sb = s if jnp.ndim(s) == 0 else s[0]
+        b = b.at[0].add(2.0 * sb * Kf[0] * D[0] / (dzf[0, 0] * dz[0, 0]))
+    if isinstance(bc_top, Dirichlet):
+        st = s if jnp.ndim(s) == 0 else s[-1]
+        b = b.at[-1].add(2.0 * st * Kf[-1] * D[-1] / (dzf[-1, 0] * dz[-1, 0]))
+
+    tend = state.tendencies[terms.var]
+    return tridiag_solve(a, b, c, tend)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitEuler:
+    """Linearized backward-Euler stepper (see module docstring).
+
+    Variables without implicit terms fall back to the explicit Euler update,
+    so the stepper is a drop-in replacement for :class:`ForwardEuler`.
+    """
+
+    dt: float = 900.0
+
+    def default_dt(self):
+        return self.dt
+
+    def step(self, model, state: State, ctx, input_sources, dt) -> State:
+        grid = model.grid
+        state = update_state(model, state, ctx, input_sources)
+
+        # collect implicit terms from the model's processes
+        terms = model.implicit_terms(state, ctx) if hasattr(model, "implicit_terms") else ()
+        implicit_vars = {t.var for t in terms}
+
+        # flux BCs enter the RHS tendencies exactly as in the explicit path
+        tend = dict(state.tendencies)
+        for name in state.prognostic:
+            var_bcs = (ctx.bcs or {}).get(name)
+            if var_bcs:
+                tend[name] = apply_flux_bcs(tend[name], var_bcs, state, grid.dz)
+        state = dataclasses.replace(state, tendencies=tend)
+
+        prog = dict(state.prognostic)
+        for t in terms:
+            du = _solve_implicit(t, state, grid, ctx.bcs, dt)
+            prog[t.var] = prog[t.var] + du
+        for name in prog:
+            if name not in implicit_vars:
+                prog[name] = prog[name] + state.tendencies[name] * dt
+        state = dataclasses.replace(state, prognostic=prog)
+
+        if state.namespaces:
+            ns = {k: explicit_step(v, grid, ctx.bcs, dt)
+                  for k, v in state.namespaces.items()}
+            state = dataclasses.replace(state, namespaces=ns)
+
+        state = model.timestep(state, ctx, dt)
+        state = model.closure(state, ctx)
+        return state.tick(dt)

@@ -1,0 +1,122 @@
+"""Implicit tridiagonal stepper tests (new capability vs reference;
+BASELINE config #2).
+
+Validated against: exact tridiagonal algebra, the erfc analytic solution at a
+timestep far beyond the explicit stability limit, explicit small-dt runs
+(incl. phase change), and Richards mass conservation.
+"""
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erfc
+
+import terrarium_tpu as tt
+from terrarium_tpu.ops.tridiag import tridiag_solve
+
+
+def test_tridiag_solver_matches_dense(rng):
+    nz, cells = 17, 5
+    a = rng.uniform(0.1, 1.0, (nz, cells))
+    c = rng.uniform(0.1, 1.0, (nz, cells))
+    b = 2.0 + a + c  # diagonally dominant
+    d = rng.normal(size=(nz, cells))
+    x = np.asarray(tridiag_solve(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                                 jnp.asarray(d)))
+    for j in range(cells):
+        M = np.diag(b[:, j]) + np.diag(a[1:, j], -1) + np.diag(c[:-1, j], 1)
+        np.testing.assert_allclose(x[:, j], np.linalg.solve(M, d[:, j]),
+                                   rtol=1e-10)
+
+
+def _solid_medium_model(spacing, k=2.0, c=1.0e6, cells=1):
+    grid = tt.ColumnGrid.of(cells=cells, spacing=spacing, nf=np.float64)
+    strat = tt.HomogeneousStratigraphy(
+        porosity=tt.ConstantSoilPorosity(mineral_porosity=0.0))
+    tp = tt.SoilThermalProperties(
+        conductivities=tt.SoilThermalConductivities(mineral=k),
+        heat_capacities=tt.SoilHeatCapacities(mineral=c))
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=strat, energy=tt.SoilEnergyBalance(thermal_properties=tp))
+    return tt.SoilModel(grid=grid, soil=soil)
+
+
+def test_implicit_heat_step_response_large_dt():
+    """erfc step response with dt = 600 s where the explicit limit for the
+    1 cm top cell is dz^2/(2*alpha) ~ 26 s: the implicit solve must stay
+    stable and accurate."""
+    T0, T1 = 1.0, 2.0
+    k, c = 3.8, 2.0e6
+    alpha = k / c
+    spacing = tt.ExponentialSpacing(dz_min=0.01, dz_max=100.0, N=100)
+    model = _solid_medium_model(spacing, k=k, c=c)
+    sim = tt.initialize(model, tt.ImplicitEuler(),
+                        initializers={"temperature": T0,
+                                      "saturation_water_ice": 0.0},
+                        boundary_conditions=tt.PrescribedSurfaceTemperature(T1))
+    dt = 600.0
+    t_end = 24 * 3600.0
+    sim.run(steps=int(t_end / dt), dt=dt)
+    z_depth = -model.grid.vertical.z_centers
+    target = T0 + (T1 - T0) * erfc(z_depth / (2 * np.sqrt(alpha * t_end)))
+    Ts = np.asarray(sim.state.temperature[:, 0])
+    assert np.all(np.isfinite(Ts))
+    rel_err = np.abs((Ts - target) / target)
+    # first-order in time at 60x the explicit limit: still < 1% everywhere
+    assert np.max(rel_err) < 1.0e-2, np.max(rel_err)
+
+
+def test_implicit_matches_explicit_with_phase_change():
+    """Freeze-front propagation: implicit at dt=300 s vs explicit at dt=30 s
+    must agree closely (saturated soil, -10 degC surface)."""
+    spacing = tt.ExponentialSpacing(dz_min=0.05, dz_max=10.0, N=40)
+
+    def build(stepper):
+        grid = tt.ColumnGrid.of(cells=1, spacing=spacing, nf=np.float64)
+        model = tt.SoilModel(grid=grid)
+        return tt.initialize(
+            model, stepper,
+            initializers={"temperature": 1.0, "saturation_water_ice": 1.0},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(-10.0))
+
+    t_end = 2 * 86400.0
+    sim_i = build(tt.ImplicitEuler()).run(steps=int(t_end / 300.0), dt=300.0)
+    sim_e = build(tt.ForwardEuler()).run(steps=int(t_end / 30.0), dt=30.0)
+    Ti = np.asarray(sim_i.state.temperature[:, 0])
+    Te = np.asarray(sim_e.state.temperature[:, 0])
+    liq_i = np.asarray(sim_i.state.liquid_water_fraction[:, 0])
+    liq_e = np.asarray(sim_e.state.liquid_water_fraction[:, 0])
+    assert np.all(np.isfinite(Ti))
+    # the freeze front (where liq transitions) must coincide within one cell
+    assert abs(int(np.argmin(liq_i > 0.5)) - int(np.argmin(liq_e > 0.5))) <= 1
+    np.testing.assert_allclose(Ti, Te, atol=0.25)
+    # energy conservation: implicit flux-form must conserve sum(U*dz) up to
+    # boundary fluxes — compare total energy change against explicit run
+    dz = np.asarray(sim_i.model.grid.vertical.dz)
+    Ui = np.asarray(sim_i.state.internal_energy[:, 0])
+    Ue = np.asarray(sim_e.state.internal_energy[:, 0])
+    assert abs(np.sum((Ui - Ue) * dz)) / abs(np.sum(Ue * dz)) < 0.05
+
+
+def test_implicit_richards_mass_conservation():
+    """Variably-saturated Richards with the implicit stepper: saturation
+    stays in [0, 1] and total water (incl. surface excess) is conserved."""
+    grid = tt.ColumnGrid.of(cells=1, spacing=tt.UniformSpacing(dz=0.1, N=100),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    hydrology = tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                 hydraulic_properties=props)
+    soil = tt.SoilEnergyWaterCarbon(hydrology=hydrology)
+    model = tt.SoilModel(grid=grid, soil=soil)
+    sim = tt.initialize(
+        model, tt.ImplicitEuler(),
+        initializers={"temperature": 1.0,
+                      "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.5 - 0.1 * z)})
+    dz = np.asarray(grid.vertical.dz)[:, None]
+    total0 = np.sum(np.asarray(sim.state.saturation_water_ice) * dz)
+    sim.run(steps=24, dt=900.0)  # 6 hours at dt = 900 s
+    sat = np.asarray(sim.state.saturation_water_ice)
+    assert np.all(np.isfinite(sat))
+    assert np.all((0 <= sat) & (sat <= 1))
+    total1 = np.sum(sat * dz) + float(np.sum(np.asarray(sim.state.surface_excess_water)))
+    np.testing.assert_allclose(total1, total0, rtol=1e-9)
