@@ -21,7 +21,9 @@ from .constants import PhysicalConstants
 from .variables import (XY, XYZ, Variable, Variables, auxiliary, input,
                         namespace, prognostic)
 from .state import Clock, State, build_state
-from .grids import ColumnGrid, ExponentialSpacing, PrescribedSpacing, UniformSpacing, VerticalGrid
+from .grids import (ColumnGrid, ColumnRingGrid, ExponentialSpacing,
+                    PrescribedSpacing, RingGrid, UniformSpacing, VerticalGrid,
+                    full_gaussian_grid, full_healpix_grid)
 from .ops.bcs import Dirichlet, Flux, Neumann, NoFlux, merge_boundary_conditions
 from .processes.base import Context, Process
 from .processes.soil import (
@@ -70,3 +72,5 @@ from .models import (
 )
 from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initialize
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource
+from .io.netcdf import load_land_mask, read_netcdf
+from .io.raster import RasterInputSource, raster_input_source

@@ -1,0 +1,120 @@
+"""Minimal NetCDF4/HDF5 reader built on h5py.
+
+Replaces the reference's Rasters.jl/NCDatasets backend
+(`ext/TerrariumRastersExt`). netCDF4/xarray are not available in this
+environment; NetCDF4 files are HDF5 containers, so h5py covers the shipped
+ERA5-land masks and typical forcing files. Handles dimension resolution,
+_FillValue/missing_value masking, and scale_factor/add_offset unpacking.
+NetCDF3 files fall back to `scipy.io.netcdf_file`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["NCVariable", "read_netcdf", "load_land_mask"]
+
+
+@dataclasses.dataclass
+class NCVariable:
+    name: str
+    data: np.ndarray
+    dims: List[str]
+    attrs: Dict
+
+
+def _decode(data: np.ndarray, attrs: Dict) -> np.ndarray:
+    out = np.asarray(data)
+    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    if fill is not None or scale is not None or offset is not None:
+        out = out.astype(np.float64)
+        if fill is not None:
+            out = np.where(np.isclose(out, np.ravel(fill)[0]), np.nan, out)
+        if scale is not None:
+            out = out * np.ravel(scale)[0]
+        if offset is not None:
+            out = out + np.ravel(offset)[0]
+    return out
+
+
+def read_netcdf(path: str, variables: Optional[List[str]] = None) -> Dict[str, NCVariable]:
+    """Read variables (all by default) from a NetCDF file into numpy arrays."""
+    try:
+        return _read_hdf5(path, variables)
+    except OSError:
+        return _read_netcdf3(path, variables)
+
+
+def _read_hdf5(path, variables):
+    import h5py
+
+    out: Dict[str, NCVariable] = {}
+    with h5py.File(path, "r") as f:
+        dim_names: Dict[int, str] = {}
+
+        def is_dim(ds):
+            return ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+
+        names = []
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                names.append(name)
+
+        f.visititems(visit)
+        for name in names:
+            ds = f[name]
+            if variables is not None and name.split("/")[-1] not in variables \
+                    and name not in variables:
+                # dimensions are always loaded (cheap, needed for coords)
+                if not is_dim(ds):
+                    continue
+            attrs = {k: v for k, v in ds.attrs.items()
+                     if not k.startswith(("DIMENSION", "REFERENCE", "CLASS", "NAME",
+                                          "_Netcdf4"))}
+            dims = []
+            if "DIMENSION_LIST" in ds.attrs:
+                for ref_list in ds.attrs["DIMENSION_LIST"]:
+                    ref = ref_list[0]
+                    dims.append(f[ref].name.lstrip("/"))
+            elif is_dim(ds):
+                dims = [name]
+            out[name.split("/")[-1]] = NCVariable(
+                name=name, data=_decode(ds[()], attrs), dims=dims, attrs=attrs)
+    return out
+
+
+def _read_netcdf3(path, variables):
+    from scipy.io import netcdf_file
+
+    out: Dict[str, NCVariable] = {}
+    with netcdf_file(path, "r", mmap=False) as f:
+        for name, var in f.variables.items():
+            if variables is not None and name not in variables and \
+                    name not in f.dimensions:
+                continue
+            attrs = {k: v for k, v in var._attributes.items()}
+            out[name] = NCVariable(name=name, data=_decode(var[:], attrs),
+                                   dims=list(var.dimensions), attrs=attrs)
+    return out
+
+
+def load_land_mask(path: str, var: str = "lsm", threshold: float = 0.5):
+    """Load an ERA5-style land-sea mask raster -> (mask bool (nlat, nlon),
+    lats, lons). Mirrors the mask usage in the reference examples
+    (`examples/simulations/soil_heat_global.jl`, `inputs/*.nc`)."""
+    data = read_netcdf(path, [var, "lat", "lon", "latitude", "longitude"])
+    lsm = data[var].data
+    lsm = lsm[0] if lsm.ndim == 3 else lsm
+    lats = data["lat"].data if "lat" in data else data["latitude"].data
+    lons = data["lon"].data if "lon" in data else data["longitude"].data
+    mask = np.nan_to_num(lsm, nan=0.0) > threshold
+    # orient north-to-south to match RingGrid convention
+    if lats[0] < lats[-1]:
+        lats = lats[::-1]
+        mask = mask[::-1]
+    return mask, lats, lons
