@@ -70,6 +70,27 @@ from .models import (
     SoilInitializer,
     SoilModel,
 )
+from .processes.atmosphere import (AmbientCO2, ConstantAerodynamics,
+                                   LongShortWaveRadiation,
+                                   MoninObukhovAerodynamics,
+                                   PrescribedAtmosphere, RainSnow,
+                                   SpecificHumidity, TracerGas)
+from .processes.surface_energy import (ConstantAlbedo, DiagnosedRadiativeFluxes,
+                                       DiagnosedTurbulentFluxes,
+                                       ImplicitSkinTemperature, PrescribedAlbedo,
+                                       PrescribedRadiativeFluxes,
+                                       PrescribedSkinTemperature,
+                                       PrescribedTurbulentFluxes,
+                                       SurfaceEnergyBalance)
+from .processes.surface_hydrology import (BareGroundEvaporation,
+                                          ConstantEvaporationResistanceFactor,
+                                          DirectSurfaceRunoff,
+                                          NoCanopyInterception,
+                                          PALADYNCanopyEvapotranspiration,
+                                          PALADYNCanopyInterception,
+                                          SoilMoistureResistanceFactor,
+                                          SurfaceHydrology)
+from .models.land_model import LandModel
 from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initialize
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource
 from .io.netcdf import load_land_mask, read_netcdf

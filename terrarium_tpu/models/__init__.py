@@ -8,3 +8,4 @@ from .initializers import (ConstantSaturation, ConstantSoilTemperature,
                            QuasiThermalSteadyState, SaturationWaterTable,
                            SoilInitializer, apply_field_initializers)
 from .soil_model import SoilModel
+from .land_model import LandModel

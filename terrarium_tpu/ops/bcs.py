@@ -34,6 +34,17 @@ __all__ = ["Dirichlet", "Neumann", "Flux", "NoFlux", "resolve_bc_value",
 
 
 @dataclasses.dataclass(frozen=True)
+class InputRef:
+    """A scaled reference to a state variable used as a BC value — the
+    reference's `Variable` placeholder BCs with an optional sign flip (the
+    LandModel installs ``-infiltration`` as the water top BC,
+    `land_model.jl:46-66`)."""
+
+    name: str
+    scale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class Dirichlet:
     """Value boundary condition (Oceananigans `ValueBoundaryCondition`)."""
 
@@ -83,6 +94,10 @@ def resolve_bc_value(value, state):
     docstring for supported forms). Returns a scalar or ``(cells,)`` array."""
     if isinstance(value, str):
         return state.inputs[value] if value in state.inputs else state[value]
+    if isinstance(value, InputRef):
+        base = (state.inputs[value.name] if value.name in state.inputs
+                else state[value.name])
+        return value.scale * base
     if callable(value):
         return value(state.clock.time)
     return jnp.asarray(value)

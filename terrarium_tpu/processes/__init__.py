@@ -1,1 +1,5 @@
 from .base import Context, Process
+from .atmosphere import (AmbientCO2, ConstantAerodynamics,
+                         LongShortWaveRadiation, MoninObukhovAerodynamics,
+                         PrescribedAtmosphere, RainSnow, SpecificHumidity,
+                         TracerGas)

@@ -1,0 +1,5 @@
+from .seb import (ConstantAlbedo, DiagnosedRadiativeFluxes,
+                  DiagnosedTurbulentFluxes, ImplicitSkinTemperature,
+                  PrescribedAlbedo, PrescribedRadiativeFluxes,
+                  PrescribedSkinTemperature, PrescribedTurbulentFluxes,
+                  SurfaceEnergyBalance)

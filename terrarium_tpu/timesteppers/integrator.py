@@ -63,7 +63,10 @@ class Simulation:
             model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
                                        self.input_sources)
 
-            @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+            # NOTE: no buffer donation — aux updates may alias input buffers
+            # (e.g. rainfall_ground = rainfall with NoCanopyInterception), and
+            # donation rejects duplicated buffers in the argument pytree.
+            @partial(jax.jit, static_argnums=(2,))
             def rollout(state, dt, n):
                 def body(s, _):
                     return ts.step(model, s, ctx, sources, dt), None

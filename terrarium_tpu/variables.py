@@ -167,9 +167,12 @@ class Variables:
 
         from .utils.utils import deduplicate
 
-        prog = deduplicate(prog, key=Variable.key)
-        aux = deduplicate(aux, key=Variable.key)
-        inp = deduplicate(inp, key=Variable.key)
+        # dedup by name, first occurrence wins — model declarations precede
+        # input-source declarations (which may carry bare metadata), matching
+        # the reference's merge order (`model_integrator.jl:154-155`)
+        prog = deduplicate(prog, key=lambda v: v.name)
+        aux = deduplicate(aux, key=lambda v: v.name)
+        inp = deduplicate(inp, key=lambda v: v.name)
         ns = deduplicate(ns, key=Namespace.key)
 
         # closure variables prepended to auxiliaries
