@@ -90,7 +90,16 @@ from .processes.surface_hydrology import (BareGroundEvaporation,
                                           PALADYNCanopyInterception,
                                           SoilMoistureResistanceFactor,
                                           SurfaceHydrology)
+from .processes.vegetation import (FieldCapacityLimitedPAW,
+                                   LUEPhotosynthesis,
+                                   MedlynStomatalConductance,
+                                   PALADYNAutotrophicRespiration,
+                                   PALADYNCarbonDynamics, PALADYNPhenology,
+                                   PALADYNVegetationDynamics,
+                                   StaticExponentialRootDistribution,
+                                   VegetationCarbon)
 from .models.land_model import LandModel
+from .models.vegetation_model import SurfaceEnergyModel, VegetationModel
 from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initialize
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource
 from .io.netcdf import load_land_mask, read_netcdf

@@ -9,3 +9,4 @@ from .initializers import (ConstantSaturation, ConstantSoilTemperature,
                            SoilInitializer, apply_field_initializers)
 from .soil_model import SoilModel
 from .land_model import LandModel
+from .vegetation_model import SurfaceEnergyModel, VegetationModel

@@ -27,6 +27,11 @@ class VanGenuchten:
     alpha: float = 4.0  # inverse air-entry suction [1/m]
     n: float = 2.0  # pore-size distribution index
     theta_res: float = 0.0  # residual water content
+    # lower clamp on the inverse [m]: at theta -> theta_res the exact inverse
+    # diverges to -inf, which makes Darcy gradients explode in fully-drained
+    # cells (the reference's unclamped Julia math produces ~-1e38 there and
+    # NaNs); -1e4 m is far beyond any physical suction (wilting ~ -150 m)
+    psi_min: float = -1.0e4
 
     def __call__(self, psi, theta_sat):
         m = 1.0 - 1.0 / self.n
@@ -41,6 +46,7 @@ class VanGenuchten:
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
         se = jnp.clip(se, 1e-8, 1.0)
         psi = -(1.0 / self.alpha) * (se ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
+        psi = jnp.maximum(psi, self.psi_min)
         return jnp.where(se >= 1.0, 0.0, psi)
 
     def inverse_deriv(self, theta, theta_sat, clamp=1.0e6):
@@ -69,6 +75,7 @@ class BrooksCorey:
     psi_s: float = 0.01  # air-entry suction [m]
     lam: float = 0.2  # pore-size distribution index
     theta_res: float = 0.0
+    psi_min: float = -1.0e4  # see VanGenuchten.psi_min
 
     def __call__(self, psi, theta_sat):
         psi_safe = jnp.minimum(psi, -self.psi_s)
@@ -80,6 +87,7 @@ class BrooksCorey:
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
         se = jnp.clip(se, 1e-8, 1.0)
         psi = -self.psi_s * se ** (-1.0 / self.lam)
+        psi = jnp.maximum(psi, self.psi_min)
         return jnp.where(se >= 1.0, 0.0, psi)
 
     def inverse_deriv(self, theta, theta_sat, clamp=1.0e6):

@@ -92,7 +92,12 @@ class PALADYNCanopyInterception:
         SAI = state.SAI
         w = state.canopy_water
         w_max = self.w_can_max * (LAI + SAI)
-        f_can = jnp.where(w_max > 0.0, w / jnp.maximum(w_max, 1e-30), 0.0)
+        # clamped to [0, 1]: the canopy saturation *fraction* (PALADYN Eq. 43).
+        # The reference leaves this unclamped (`canopy_interception.jl:117-122`),
+        # which lets the marginally-stable explicit canopy-water ODE feed back
+        # into the latent heat flux and blow up the skin temperature.
+        f_can = jnp.where(w_max > 0.0,
+                          jnp.clip(w / jnp.maximum(w_max, 1e-30), 0.0, 1.0), 0.0)
         I_can = self.alpha_int * rain * (1.0 - jnp.exp(-self.k_ext * (LAI + SAI)))
         R_can = jnp.maximum(w, 0.0) / self.tau_w
         return state.update(

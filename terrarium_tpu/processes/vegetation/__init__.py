@@ -1,0 +1,5 @@
+from .vegetation import (FieldCapacityLimitedPAW, LUEPhotosynthesis,
+                         MedlynStomatalConductance,
+                         PALADYNAutotrophicRespiration, PALADYNCarbonDynamics,
+                         PALADYNPhenology, PALADYNVegetationDynamics,
+                         StaticExponentialRootDistribution, VegetationCarbon)
