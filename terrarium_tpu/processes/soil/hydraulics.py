@@ -57,9 +57,16 @@ class UnsatKVanGenuchten:
         K_sat = hydraulics.saturated_hydraulic_conductivity(soil.texture)
         se = jnp.clip(theta_w / jnp.maximum(theta_sat, 1e-12), 0.0, 1.0)
         # NOTE: exponents n/(n+1) and (n-1)/n exactly as the reference
-        # (`soil_hydraulic_properties.jl:218`).
-        K = K_sat * I_ice * jnp.sqrt(se) * (1.0 - (1.0 - se ** (n / (n + 1.0))) ** ((n - 1.0) / n)) ** 2
-        return K
+        # (`soil_hydraulic_properties.jl:218`). The unsaturated branch is
+        # evaluated on se clamped strictly below 1 and the saturated case
+        # selected exactly: dK/dse -> inf at se = 1 (Mualem-vG), which would
+        # otherwise propagate NaN through reverse-mode AD (the masked-where
+        # subgradient here is 0, matching the reference's Enzyme tests that
+        # only probe unsaturated states).
+        se_safe = jnp.minimum(se, 1.0 - 1e-9)
+        K_unsat = K_sat * I_ice * jnp.sqrt(se_safe) * (
+            1.0 - (1.0 - se_safe ** (n / (n + 1.0))) ** ((n - 1.0) / n)) ** 2
+        return jnp.where(se >= 1.0, K_sat * I_ice, K_unsat)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,11 +41,16 @@ class VanGenuchten:
         return jnp.where(psi < 0.0, theta_unsat, theta_sat)
 
     def inverse(self, theta, theta_sat):
-        """psi_m(theta); returns 0 at/above saturation."""
+        """psi_m(theta); returns 0 at/above saturation.
+
+        The saturated branch is computed on a clamped ``se`` strictly below 1
+        (double-where pattern): at se == 1 the inner derivative of
+        ``(se^(-1/m) - 1)^(1/n)`` is 0^(1/n - 1) = inf, and JAX's masked
+        `where` gradient would produce 0 * inf = NaN otherwise."""
         m = 1.0 - 1.0 / self.n
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
-        se = jnp.clip(se, 1e-8, 1.0)
-        psi = -(1.0 / self.alpha) * (se ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
+        se_safe = jnp.clip(se, 1e-8, 1.0 - 1e-12)
+        psi = -(1.0 / self.alpha) * (se_safe ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
         psi = jnp.maximum(psi, self.psi_min)
         return jnp.where(se >= 1.0, 0.0, psi)
 
