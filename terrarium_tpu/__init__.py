@@ -104,3 +104,8 @@ from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initial
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource
 from .io.netcdf import load_land_mask, read_netcdf
 from .io.raster import RasterInputSource, raster_input_source
+from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
+                        IterationInterval, ProgressLogger, TimeInterval,
+                        load_field_time_series)
+from .io.checkpoint import load_checkpoint, save_checkpoint
+from .diagnostics.debug import debug_callback, enable_debug, nancheck

@@ -1,0 +1,1 @@
+from .debug import DEBUG, debug_callback, enable_debug, nancheck

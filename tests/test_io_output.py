@@ -1,0 +1,93 @@
+"""Output writers, checkpoint/resume, and debug-hook tests.
+
+Covers the aux subsystems from SURVEY §5: field time-series output with
+schedules (the reference's Oceananigans-writer delegation), checkpointed
+restart (a capability beyond the reference), and NaN-check hooks.
+"""
+import numpy as np
+import pytest
+
+import terrarium_tpu as tt
+from terrarium_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from terrarium_tpu.io.output import (FieldTimeSeriesWriter, IterationInterval,
+                                     TimeInterval, load_field_time_series)
+
+
+def _sim(cells=2, nz=8):
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    return tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(5.0))
+
+
+def test_field_time_series_writer(tmp_path):
+    sim = _sim()
+    path = str(tmp_path / "out.h5")
+    writer = FieldTimeSeriesWriter(path, ["temperature", "ground_temperature"],
+                                   schedule=IterationInterval(4))
+    writer(sim)  # initial snapshot
+    sim.run(steps=16, dt=300.0, callbacks=[writer], callback_interval=4)
+    data = load_field_time_series(path)
+    assert data["time"].shape[0] == 5  # t=0 + 4 actuations
+    assert data["temperature"].shape == (5, 8, 2)
+    assert data["ground_temperature"].shape == (5, 2)
+    # surface warms toward the 5 degC boundary condition over time
+    assert data["ground_temperature"][-1, 0] > data["ground_temperature"][0, 0]
+    np.testing.assert_allclose(data["time"],
+                               [0.0, 1200.0, 2400.0, 3600.0, 4800.0])
+
+
+def test_time_interval_schedule(tmp_path):
+    sim = _sim()
+    path = str(tmp_path / "out_t.h5")
+    writer = FieldTimeSeriesWriter(path, ["ground_temperature"],
+                                   schedule=TimeInterval(1800.0))
+    sim.run(steps=12, dt=300.0, callbacks=[writer],
+            callback_interval=writer.schedule.steps_hint(300.0))
+    data = load_field_time_series(path)
+    assert data["time"].shape[0] == 2  # at 1800 and 3600 s
+    np.testing.assert_allclose(data["time"], [1800.0, 3600.0])
+
+
+def test_checkpoint_resume(tmp_path):
+    """Bit-exact resume: run 20 steps straight vs 10 + checkpoint + 10."""
+    dt = 300.0
+    sim_a = _sim()
+    sim_a.run(steps=20, dt=dt)
+
+    sim_b = _sim()
+    sim_b.run(steps=10, dt=dt)
+    path = save_checkpoint(str(tmp_path / "ckpt"), sim_b.state)
+
+    sim_c = _sim()  # fresh initialization
+    sim_c.state = load_checkpoint(path, sim_c.state)
+    assert sim_c.current_time == sim_b.current_time
+    sim_c.run(steps=10, dt=dt)
+
+    np.testing.assert_array_equal(np.asarray(sim_a.state.temperature),
+                                  np.asarray(sim_c.state.temperature))
+    np.testing.assert_array_equal(np.asarray(sim_a.state.internal_energy),
+                                  np.asarray(sim_c.state.internal_energy))
+    assert sim_c.iteration == sim_a.iteration
+
+
+def test_nancheck():
+    import jax.numpy as jnp
+
+    sim = _sim()
+    tt.nancheck(sim.state)  # clean state passes
+    bad = sim.state.update(temperature=sim.state.temperature.at[0, 0].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="temperature"):
+        tt.nancheck(bad)
+
+
+def test_debug_callback_toggle():
+    sim = _sim()
+    try:
+        tt.enable_debug(True)
+        tt.debug_callback(sim)  # no error on clean state
+    finally:
+        tt.enable_debug(False)
