@@ -41,7 +41,8 @@ def tridiag_solve(a, b, c, d):
 
     zeros = jnp.zeros_like(b[0])
     a0 = a.at[0].set(0.0)
-    (_, _), (c_prime, d_prime) = jax.lax.scan(fwd, (zeros, zeros), (a0, b, c, d))
+    (_, _), (c_prime, d_prime) = jax.lax.scan(fwd, (zeros, zeros), (a0, b, c, d),
+                                              unroll=6)
 
     # back substitution: x_k = d'_k - c'_k x_{k+1}
     def bwd(x_next, xs):
@@ -49,5 +50,6 @@ def tridiag_solve(a, b, c, d):
         x_k = d_k - c_k * x_next
         return x_k, x_k
 
-    _, x_rev = jax.lax.scan(bwd, zeros, (c_prime[::-1], d_prime[::-1]))
+    _, x_rev = jax.lax.scan(bwd, zeros, (c_prime[::-1], d_prime[::-1]),
+                            unroll=6)
     return x_rev[::-1]

@@ -114,10 +114,12 @@ class SoilHydrology:
         `soil_hydrology.jl:170-175`, `findfirst_z` in `kernel_utils.jl:7-18`)."""
         sat = state.saturation_water_ice
         mask = sat < 1.0
-        idx = jnp.argmax(mask, axis=0)  # first True bottom-up
-        found = jnp.any(mask, axis=0)
         zf = jnp.asarray(grid.vertical.z_faces, dtype=grid.nf)
-        wt = jnp.where(found, zf[idx], zf[-1])
+        # gather-free formulation (TPU/Mosaic friendly): z_faces increases
+        # with k, so the face below the first unsaturated cell (bottom-up) is
+        # the minimum masked face elevation; surface face if fully saturated.
+        masked = jnp.where(mask, zf[:-1, None], zf[-1])
+        wt = jnp.min(masked, axis=0)
         return state.update(water_table=wt)
 
     # -- saturation adjustment -------------------------------------------
@@ -143,7 +145,8 @@ class SoilHydrology:
             return excess * d, s - excess
 
         carry_top, sat_up = jax.lax.scan(
-            up, jnp.zeros(sat.shape[1:], dtype=sat.dtype), (sat, dz_col))
+            up, jnp.zeros(sat.shape[1:], dtype=sat.dtype), (sat, dz_col),
+            unroll=6)
 
         # surface excess pool gets what spilled past the top layer
         # (the top layer's excess was already removed by the sweep)
@@ -160,7 +163,7 @@ class SoilHydrology:
 
         carry_bot, sat_dn_rev = jax.lax.scan(
             down, jnp.zeros(sat.shape[1:], dtype=sat.dtype),
-            (sat_up[::-1], dz_col[::-1]))
+            (sat_up[::-1], dz_col[::-1]), unroll=6)
         sat_new = sat_dn_rev[::-1]
         # bottom deficit clipped to zero (mass-balance violation warning case)
         sat_new = sat_new.at[0].set(jnp.maximum(sat_new[0], 0.0))
