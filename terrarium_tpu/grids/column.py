@@ -85,3 +85,36 @@ class ColumnGrid:
 
     def __repr__(self):
         return f"ColumnGrid(cells={self.cells}, nz={self.nz}, nf={self.nf})"
+
+    def with_traced_coords(self, z_centers, z_faces, dz, dz_faces) -> "ColumnGrid":
+        """A grid whose coordinate properties return the given (traced)
+        arrays instead of materializing numpy constants — required inside
+        Pallas kernels, where constants must be explicit inputs
+        (see `ops/fused_step.py`)."""
+        return _TracedCoordGrid(cells=self.cells, vertical=self.vertical,
+                                nf=self.nf, coords=(z_centers, z_faces, dz,
+                                                    dz_faces))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _TracedCoordGrid(ColumnGrid):
+    coords: tuple = None
+
+    @property
+    def z_centers(self):
+        return self.coords[0]
+
+    @property
+    def z_faces(self):
+        return self.coords[1]
+
+    @property
+    def dz(self):
+        return self.coords[2]
+
+    @property
+    def dz_faces(self):
+        return self.coords[3]
+
+    def __hash__(self):
+        return hash((self.cells, self.vertical, str(self.nf)))

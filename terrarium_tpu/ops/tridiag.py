@@ -50,6 +50,5 @@ def tridiag_solve(a, b, c, d):
         x_k = d_k - c_k * x_next
         return x_k, x_k
 
-    _, x_rev = jax.lax.scan(bwd, zeros, (c_prime[::-1], d_prime[::-1]),
-                            unroll=6)
-    return x_rev[::-1]
+    _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=6, reverse=True)
+    return x

@@ -28,6 +28,15 @@ __all__ = [
 ]
 
 
+def _row_mask(shape, row, dtype=None):
+    """One-hot mask for a z-row built with broadcasted_iota (static-slice-free,
+    required for Pallas/Mosaic lowering where integer indexing is illegal)."""
+    import jax
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return idx == (row % shape[0])
+
+
 def ghosts(c, bc_bottom, bc_top, state, dz_faces):
     """Compute ghost-cell values below/above the column for variable ``c``.
 
@@ -40,10 +49,12 @@ def ghosts(c, bc_bottom, bc_top, state, dz_faces):
     * Flux / None: zero gradient (``ghost = c_boundary``); the physical flux
       enters through the tendency instead.
 
-    Returns ``(ghost_bottom, ghost_top)``, each of shape ``(cells,)``.
+    Returns ``(ghost_bottom, ghost_top)``, each of shape ``(1, cells)``.
+    ``dz_faces`` is the ``(Nz + 1, 1)`` face-spacing array. Only static
+    slices are used (Pallas/Mosaic-compatible).
     """
-    c_bot, c_top = c[0], c[-1]
-    dzf_bot, dzf_top = dz_faces[0], dz_faces[-1]
+    c_bot, c_top = c[:1], c[-1:]
+    dzf_bot, dzf_top = dz_faces[:1], dz_faces[-1:]
 
     def one(bc, c_bnd, sign, dzf):
         if isinstance(bc, Dirichlet):
@@ -60,8 +71,8 @@ def ghosts(c, bc_bottom, bc_top, state, dz_faces):
 
 
 def _pad_with_ghosts(c, ghost_bottom, ghost_top):
-    gb = jnp.broadcast_to(ghost_bottom, c.shape[1:])[None]
-    gt = jnp.broadcast_to(ghost_top, c.shape[1:])[None]
+    gb = jnp.broadcast_to(ghost_bottom, (1,) + c.shape[1:])
+    gt = jnp.broadcast_to(ghost_top, (1,) + c.shape[1:])
     return jnp.concatenate([gb, c, gt], axis=0)  # (Nz + 2, cells)
 
 
@@ -69,9 +80,9 @@ def grad_faces(c, dz_faces, ghost_bottom=None, ghost_top=None):
     """``∂c/∂z`` at all faces: ``(c[f] - c[f-1]) / dz_faces[f]``
     (Oceananigans `∂zᵃᵃᶠ`). Ghosts default to zero-gradient."""
     if ghost_bottom is None:
-        ghost_bottom = c[0]
+        ghost_bottom = c[:1]
     if ghost_top is None:
-        ghost_top = c[-1]
+        ghost_top = c[-1:]
     ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
     return (ce[1:] - ce[:-1]) / dz_faces
 
@@ -80,9 +91,9 @@ def interp_faces_mid(c, ghost_bottom=None, ghost_top=None):
     """Arithmetic-mean interpolation of a center field to all faces
     (Oceananigans `ℑzᵃᵃᶠ`). Ghosts default to zero-gradient."""
     if ghost_bottom is None:
-        ghost_bottom = c[0]
+        ghost_bottom = c[:1]
     if ghost_top is None:
-        ghost_top = c[-1]
+        ghost_top = c[-1:]
     ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
     return 0.5 * (ce[1:] + ce[:-1])
 
@@ -91,9 +102,9 @@ def interp_faces_min(c, ghost_bottom=None, ghost_top=None):
     """Neighbor-minimum interpolation to faces (reference `min_zᵃᵃᶠ`,
     `src/utils/kernel_utils.jl:24-25`). Ghosts default to zero-gradient."""
     if ghost_bottom is None:
-        ghost_bottom = c[0]
+        ghost_bottom = c[:1]
     if ghost_top is None:
-        ghost_top = c[-1]
+        ghost_top = c[-1:]
     ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
     return jnp.minimum(ce[1:], ce[:-1])
 
@@ -124,10 +135,11 @@ def apply_flux_bcs(tend, var_bcs, state, dz):
         if isinstance(bot, Flux):
             tend = tend + resolve_bc_value(bot.value, state)
         return tend
+    dz2 = dz if dz.ndim == 2 else dz[:, None]
     if isinstance(top, Flux):
         q = resolve_bc_value(top.value, state)
-        tend = tend.at[-1].add(-q / dz[-1, 0] if dz.ndim == 2 else -q / dz[-1])
+        tend = jnp.where(_row_mask(tend.shape, -1), tend - q / dz2[-1:], tend)
     if isinstance(bot, Flux):
         q = resolve_bc_value(bot.value, state)
-        tend = tend.at[0].add(q / dz[0, 0] if dz.ndim == 2 else q / dz[0])
+        tend = jnp.where(_row_mask(tend.shape, 0), tend + q / dz2[:1], tend)
     return tend

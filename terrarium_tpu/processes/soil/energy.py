@@ -56,7 +56,7 @@ class SoilEnergyTemperatureClosure:
         return state.update(
             temperature=T,
             liquid_water_fraction=liq,
-            ground_temperature=T[-1],
+            ground_temperature=jnp.reshape(T[-1:], (-1,)),
         )
 
     def invclosure(self, state, grid, energy, soil, constants):
@@ -76,7 +76,7 @@ class SoilEnergyTemperatureClosure:
         return state.update(
             internal_energy=U,
             liquid_water_fraction=liq,
-            ground_temperature=T[-1],
+            ground_temperature=jnp.reshape(T[-1:], (-1,)),
         )
 
 
@@ -124,7 +124,7 @@ class SoilEnergyBalance:
         # Temperature ghost cells from Value/Gradient BCs (halo-fill semantics)
         bc_bot = get_bc(ctx.bcs, "temperature", "bottom")
         bc_top = get_bc(ctx.bcs, "temperature", "top")
-        g_bot, g_top = ghosts(T, bc_bot, bc_top, state, grid.dz_faces[:, 0])
+        g_bot, g_top = ghosts(T, bc_bot, bc_top, state, grid.dz_faces)
         # kappa is independent of T and its closure-var halos are
         # zero-gradient, so the boundary-face kappa equals the boundary cell's
         kappa_f = interp_faces_mid(kappa)

@@ -114,11 +114,11 @@ class SoilHydrology:
         `soil_hydrology.jl:170-175`, `findfirst_z` in `kernel_utils.jl:7-18`)."""
         sat = state.saturation_water_ice
         mask = sat < 1.0
-        zf = jnp.asarray(grid.vertical.z_faces, dtype=grid.nf)
+        zf = grid.z_faces  # (Nz+1, 1)
         # gather-free formulation (TPU/Mosaic friendly): z_faces increases
         # with k, so the face below the first unsaturated cell (bottom-up) is
         # the minimum masked face elevation; surface face if fully saturated.
-        masked = jnp.where(mask, zf[:-1, None], zf[-1])
+        masked = jnp.where(mask, zf[:-1], zf[-1])
         wt = jnp.min(masked, axis=0)
         return state.update(water_table=wt)
 
@@ -161,12 +161,13 @@ class SoilHydrology:
             deficit = jnp.maximum(-s, 0.0)
             return deficit * d, s + deficit
 
-        carry_bot, sat_dn_rev = jax.lax.scan(
+        carry_bot, sat_new = jax.lax.scan(
             down, jnp.zeros(sat.shape[1:], dtype=sat.dtype),
-            (sat_up[::-1], dz_col[::-1]), unroll=6)
-        sat_new = sat_dn_rev[::-1]
+            (sat_up, dz_col), unroll=6, reverse=True)
         # bottom deficit clipped to zero (mass-balance violation warning case)
-        sat_new = sat_new.at[0].set(jnp.maximum(sat_new[0], 0.0))
+        from ...ops.vertical_ops import _row_mask
+        sat_new = jnp.where(_row_mask(sat_new.shape, 0),
+                            jnp.maximum(sat_new, 0.0), sat_new)
 
         updates = {"saturation_water_ice": sat_new}
         if surf is not None:
@@ -197,7 +198,7 @@ class SoilHydrology:
         psi = state.pressure_head
         bc_bot = get_bc(ctx.bcs, "pressure_head", "bottom")
         bc_top = get_bc(ctx.bcs, "pressure_head", "top")
-        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces[:, 0])
+        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces)
         grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
         K = state.hydraulic_conductivity  # face array (Nz+1, cells)
         K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)  # clamped shift
@@ -210,8 +211,10 @@ class SoilHydrology:
 
         # ET sink in the top layer (reference `evapotranspiration_base.jl:9-15`)
         if evtr is not None:
-            dtheta_dt = dtheta_dt.at[-1].add(
-                evtr.soil_moisture_sink(state, grid, constants) / grid.dz[-1, 0])
+            from ...ops.vertical_ops import _row_mask
+            sink = evtr.soil_moisture_sink(state, grid, constants) / grid.dz[-1:]
+            dtheta_dt = jnp.where(_row_mask(dtheta_dt.shape, -1),
+                                  dtheta_dt + sink, dtheta_dt)
         # generic user forcing (reference `soil_hydrology.jl:245-257`)
         if self.vwc_forcing is not None:
             dtheta_dt = dtheta_dt + self.vwc_forcing(state, grid)
@@ -238,7 +241,7 @@ class SoilHydrology:
         psi = state.pressure_head
         bc_bot = get_bc(ctx.bcs, "pressure_head", "bottom")
         bc_top = get_bc(ctx.bcs, "pressure_head", "top")
-        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces[:, 0])
+        g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces)
         grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
         K = state.hydraulic_conductivity
         K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)
