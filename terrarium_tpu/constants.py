@@ -57,7 +57,10 @@ def saturation_vapor_pressure(T):
     Frozen/unfrozen coefficients from Alduchov & Eskridge (1996); mirrors
     reference `src/processes/physics_utils.jl:54-73`.
     """
-    T = jnp.asarray(T)
+    # clamp to a physical range: the Magnus form divides by zero at
+    # T = -272.62 degC, so transient solver over/undershoots (e.g. during a
+    # diverging skin-temperature iteration) would otherwise inject NaNs
+    T = jnp.clip(jnp.asarray(T), -150.0, 150.0)
     e_frozen = 611.0 * jnp.exp(22.46 * T / (T + 272.62))
     e_liquid = 611.0 * jnp.exp(17.62 * T / (T + 243.12))
     return jnp.where(T <= 0.0, e_frozen, e_liquid)

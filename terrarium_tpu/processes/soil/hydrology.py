@@ -266,7 +266,9 @@ class SoilHydrology:
         z = grid.z_centers  # (Nz, 1)
         # z_ref = surface face elevation = 0 (reference
         # `soil_hydraulic_closures.jl:86`)
-        psi_z = z - grid.vertical.z_faces[-1]
+        # float() keeps the surface elevation weakly typed (np.float64
+        # scalars are strong under x64 and would promote f32 states)
+        psi_z = z - float(grid.vertical.z_faces[-1])
         z0 = state.water_table  # (cells,)
         psi_h = jnp.maximum(0.0, z0[None, :] - z)
         return psi_z, psi_h

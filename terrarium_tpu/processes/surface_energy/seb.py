@@ -206,6 +206,11 @@ class ImplicitSkinTemperature:
     half-cell flux balance (reference `skin_temperature.jl:44-110`)."""
 
     kappa_s: float = 2.0
+    # bound on |Ts - Tg| [K]: the explicit fixed-point skin update can
+    # oscillate divergently under strong coupling (e.g. Monin-Obukhov drag at
+    # low resistance); the reference has no such guard and NaNs in those
+    # states. 50 K is far beyond any physical half-cell contrast.
+    max_delta: float = 50.0
 
     prognostic_skin = True
 
@@ -222,11 +227,14 @@ class ImplicitSkinTemperature:
         return state.skin_temperature
 
     def compute_skin_temperature(self, state, grid):
-        """Ts = Tg - G*dz1/(2 kappa_s) (reference `skin_temperature.jl:62-68`)."""
-        dz1 = grid.dz[-1, 0]
+        """Ts = Tg - G*dz1/(2 kappa_s) (reference `skin_temperature.jl:62-68`),
+        with the offset bounded by ``max_delta`` (see field docstring)."""
+        dz1 = jnp.reshape(grid.dz[-1:], ())
         G = state.ground_heat_flux
         Tg = state.ground_temperature
-        return Tg - G * dz1 / (2.0 * self.kappa_s)
+        delta = jnp.clip(-G * dz1 / (2.0 * self.kappa_s),
+                         -self.max_delta, self.max_delta)
+        return Tg + delta
 
 
 # ---------------------------------------------------------------------------
@@ -235,15 +243,32 @@ class ImplicitSkinTemperature:
 @dataclasses.dataclass(frozen=True)
 class SurfaceEnergyBalance:
     """Coupled SEB (reference `surface_energy_balance.jl:9-44`). The fused
-    flux update computes SW/LW up, R_net, H_s, H_l and G = R_net - H_s - H_l;
+    flux update computes SW/LW up, R_net, H_s, H_l and the ground heat flux;
     with :class:`ImplicitSkinTemperature` it then updates Ts from G and
     recomputes all fluxes (one fixed-point sweep,
-    `surface_energy_balance.jl:95-110`)."""
+    `surface_energy_balance.jl:95-110`).
+
+    ``ground_flux_form`` selects the G residual:
+
+    * ``"reference"`` (default): G = R_net - H_s - H_l, exactly the
+      reference (`skin_temperature.jl:76-80`). NOTE with every flux positive
+      *up* this makes turbulent losses ADD energy to the ground — a
+      wrong-signed feedback that is negligible under the reference's weak
+      constant drag but diverges under realistic (e.g. Monin-Obukhov) drag.
+    * ``"consistent"``: G = R_net + H_s + H_l (all positive up), the
+      energy-conserving skin balance -R_net = H_s + H_l + G_down. Use this
+      for production configurations.
+    """
 
     skin_temperature: Any = ImplicitSkinTemperature()
     radiative_fluxes: Any = DiagnosedRadiativeFluxes()
     turbulent_fluxes: Any = DiagnosedTurbulentFluxes()
     albedo: Any = ConstantAlbedo()
+    ground_flux_form: str = "reference"
+
+    @staticmethod
+    def consistent(**kw) -> "SurfaceEnergyBalance":
+        return SurfaceEnergyBalance(ground_flux_form="consistent", **kw)
 
     def variables(self):
         return (tuple(self.albedo.variables())
@@ -260,7 +285,10 @@ class SurfaceEnergyBalance:
         R_net = net_radiation(SW_up, SW_down, LW_up, LW_down)
         H_s = self.turbulent_fluxes.sensible(state, self, constants, atmos, Ts)
         H_l = self.turbulent_fluxes.latent(state, self, constants, atmos, Ts, evtr)
-        G = R_net - H_s - H_l  # reference `skin_temperature.jl:76-80`
+        if self.ground_flux_form == "consistent":
+            G = R_net + H_s + H_l  # energy-conserving (see class docstring)
+        else:
+            G = R_net - H_s - H_l  # reference `skin_temperature.jl:76-80`
         updates = dict(surface_net_radiation=R_net, ground_heat_flux=G)
         if isinstance(self.radiative_fluxes, DiagnosedRadiativeFluxes):
             updates.update(surface_shortwave_up=SW_up, surface_longwave_up=LW_up)

@@ -109,10 +109,13 @@ class PALADYNCanopyInterception:
 
     def compute_tendencies(self, state, grid, evtr, ctx):
         """dw/dt = I_can - E_can - R_can (reference `canopy_interception.jl:
-        176-186, 303-320`)."""
+        176-186, 303-320`). E_can uses the ET scheme's water-flux unit scale
+        (see BareGroundEvaporation.water_flux_scale)."""
         E_can = state.evaporation_canopy if "evaporation_canopy" in state \
             else jnp.zeros_like(state.canopy_water)
-        dw = (state.canopy_water_interception - E_can - state.canopy_water_removal)
+        scale = getattr(evtr, "water_flux_scale", 1.0)
+        dw = (state.canopy_water_interception - E_can * scale
+              - state.canopy_water_removal)
         return state.add_tendencies(canopy_water=dw)
 
 
@@ -154,6 +157,16 @@ class BareGroundEvaporation:
     """E = beta * dq / r_a (reference `bare_ground_evaporation.jl:1-62`)."""
 
     ground_resistance: Any = ConstantEvaporationResistanceFactor()
+    # The reference applies the specific-humidity flux Q_h [kg/kg * m/s]
+    # directly as a *water volume* flux (`evapotranspiration_base.jl:9-15`),
+    # overdrawing soil water by rho_w/rho_a ~ 773x. water_flux_scale = 1.0
+    # reproduces that; `consistent_units()` applies rho_a/rho_w so the water
+    # sink matches the latent heat flux H_l = L*rho_a*Q_h.
+    water_flux_scale: float = 1.0
+
+    @staticmethod
+    def consistent_units(**kw) -> "BareGroundEvaporation":
+        return BareGroundEvaporation(water_flux_scale=1.293e-3, **kw)
 
     def variables(self):
         return (
@@ -176,8 +189,9 @@ class BareGroundEvaporation:
 
     def soil_moisture_sink(self, state, grid, constants):
         """ET forcing for the top soil layer: -Q_h (divided by dz by the
-        caller; reference `evapotranspiration_base.jl:9-15`)."""
-        return -self.surface_humidity_flux(state)
+        caller; reference `evapotranspiration_base.jl:9-15`), times the
+        water-flux unit scale (see water_flux_scale)."""
+        return -self.surface_humidity_flux(state) * self.water_flux_scale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,6 +204,12 @@ class PALADYNCanopyEvapotranspiration:
 
     C_can: float = 0.006
     ground_resistance: Any = ConstantEvaporationResistanceFactor()
+    # see BareGroundEvaporation.water_flux_scale
+    water_flux_scale: float = 1.0
+
+    @staticmethod
+    def consistent_units(**kw) -> "PALADYNCanopyEvapotranspiration":
+        return PALADYNCanopyEvapotranspiration(water_flux_scale=1.293e-3, **kw)
 
     def variables(self):
         return (
@@ -236,8 +256,9 @@ class PALADYNCanopyEvapotranspiration:
 
     def soil_moisture_sink(self, state, grid, constants):
         """Total humidity flux as top-layer soil moisture sink
-        (reference `evapotranspiration_base.jl:9-15`)."""
-        return -self.surface_humidity_flux(state)
+        (reference `evapotranspiration_base.jl:9-15`), times the water-flux
+        unit scale (see BareGroundEvaporation.water_flux_scale)."""
+        return -self.surface_humidity_flux(state) * self.water_flux_scale
 
 
 # ---------------------------------------------------------------------------
