@@ -108,4 +108,5 @@ from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
                         IterationInterval, ProgressLogger, TimeInterval,
                         load_field_time_series)
 from .io.checkpoint import load_checkpoint, save_checkpoint
+from .io.forcing_pipeline import ChunkedForcingPipeline
 from .diagnostics.debug import debug_callback, enable_debug, nancheck

@@ -5,3 +5,4 @@ from .output import (AveragedTimeInterval, FieldTimeSeriesWriter,
                      IterationInterval, ProgressLogger, TimeInterval,
                      load_field_time_series)
 from .checkpoint import load_checkpoint, save_checkpoint
+from .forcing_pipeline import ChunkedForcingPipeline
