@@ -33,6 +33,11 @@ def n145_land_cells(default=24572):
 def main():
     import jax
 
+    # persistent compilation cache: first run pays the (slow, remote) compile,
+    # later runs reuse the executable
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import terrarium_tpu as tt
 
     cells = n145_land_cells()

@@ -120,3 +120,36 @@ def test_implicit_richards_mass_conservation():
     assert np.all((0 <= sat) & (sat <= 1))
     total1 = np.sum(sat * dz) + float(np.sum(np.asarray(sim.state.surface_excess_water)))
     np.testing.assert_allclose(total1, total0, rtol=1e-9)
+
+
+def test_implicit_land_model():
+    """ImplicitEuler drives the coupled LandModel (heat + Richards implicit,
+    everything else explicit) stably at dt = 900 s."""
+    grid = tt.ColumnGrid.of(cells=2, spacing=tt.ExponentialSpacing(N=15),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten(), sat_hydraulic_cond=1e-6)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(
+            texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                   hydraulic_properties=props))
+    model = tt.LandModel(
+        grid=grid, soil=soil,
+        surface_energy_balance=tt.SurfaceEnergyBalance.consistent(),
+        surface_hydrology=tt.SurfaceHydrology(
+            evapotranspiration=tt.BareGroundEvaporation.consistent_units()))
+    sim = tt.initialize(
+        model, tt.ImplicitEuler(),
+        initializers={"temperature": 8.0, "saturation_water_ice": 0.7},
+        input_sources=(tt.FieldInputSource(fields={
+            "surface_shortwave_down": 400.0, "air_temperature": 12.0,
+            "rainfall": 5.0e-8, "windspeed": 1.0}),))
+    sim.run(steps=96, dt=900.0)  # one day
+    st = sim.state
+    for name in ("temperature", "saturation_water_ice", "skin_temperature",
+                 "ground_heat_flux"):
+        assert np.all(np.isfinite(np.asarray(st[name]))), name
+    sat = np.asarray(st.saturation_water_ice)
+    assert np.all((0.0 <= sat) & (sat <= 1.0))
