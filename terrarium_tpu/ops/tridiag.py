@@ -42,7 +42,7 @@ def tridiag_solve(a, b, c, d):
     zeros = jnp.zeros_like(b[0])
     a0 = a.at[0].set(0.0)
     (_, _), (c_prime, d_prime) = jax.lax.scan(fwd, (zeros, zeros), (a0, b, c, d),
-                                              unroll=6)
+                                              unroll=2)
 
     # back substitution: x_k = d'_k - c'_k x_{k+1}
     def bwd(x_next, xs):
@@ -50,5 +50,5 @@ def tridiag_solve(a, b, c, d):
         x_k = d_k - c_k * x_next
         return x_k, x_k
 
-    _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=6, reverse=True)
+    _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=2, reverse=True)
     return x

@@ -146,7 +146,7 @@ class SoilHydrology:
 
         carry_top, sat_up = jax.lax.scan(
             up, jnp.zeros(sat.shape[1:], dtype=sat.dtype), (sat, dz_col),
-            unroll=6)
+            unroll=2)
 
         # surface excess pool gets what spilled past the top layer
         # (the top layer's excess was already removed by the sweep)
@@ -163,7 +163,7 @@ class SoilHydrology:
 
         carry_bot, sat_new = jax.lax.scan(
             down, jnp.zeros(sat.shape[1:], dtype=sat.dtype),
-            (sat_up, dz_col), unroll=6, reverse=True)
+            (sat_up, dz_col), unroll=2, reverse=True)
         # bottom deficit clipped to zero (mass-balance violation warning case)
         from ...ops.vertical_ops import _row_mask
         sat_new = jnp.where(_row_mask(sat_new.shape, 0),
