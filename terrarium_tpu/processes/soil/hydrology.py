@@ -130,44 +130,40 @@ class SoilHydrology:
         deficits from below; residual surface excess goes to the
         `surface_excess_water` pool; a residual bottom deficit is clipped.
 
-        Implemented as two `lax.scan`s over z with ``(cells,)`` water-column
-        carries — the TPU-idiomatic form of the reference's sequential
-        per-column loops."""
+        The reference's sequential per-column sweeps are max-plus linear
+        recurrences ``c[k] = max(0, a[k] + c[k-1])`` on the water columns
+        ``a[k] = (sat[k] - 1) * dz[k]`` (up) / ``-sat[k] * dz[k]`` (down),
+        which have the closed form ``c = S - min(0, cummin(S))`` over prefix
+        sums ``S`` — so both sweeps run as fully parallel O(log Nz)
+        cumulative ops instead of sequential z-scans (no `lax.scan` on the
+        explicit hot path at all)."""
         sat = state.saturation_water_ice
         dz = grid.dz  # (Nz, 1)
         dz_col = jnp.broadcast_to(dz, sat.shape)
+        zrow = jnp.zeros((1,) + sat.shape[1:], dtype=sat.dtype)
 
-        # upward sweep (bottom -> top): carry = excess water column [m]
-        def up(carry, xs):
-            s, d = xs
-            s = s + carry / d
-            excess = jnp.maximum(s - 1.0, 0.0)
-            return excess * d, s - excess
-
-        carry_top, sat_up = jax.lax.scan(
-            up, jnp.zeros(sat.shape[1:], dtype=sat.dtype), (sat, dz_col),
-            unroll=2)
+        # upward sweep (bottom -> top): carry c[k] = excess water [m] spilling
+        # past layer k; layer k receives c[k-1] and clamps at saturation 1.
+        a = (sat - 1.0) * dz_col
+        S = jnp.cumsum(a, axis=0)
+        c = S - jnp.minimum(jax.lax.cummin(S, axis=0), 0.0)
+        c_in = jnp.concatenate([zrow, c[:-1]], axis=0)
+        sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
 
         # surface excess pool gets what spilled past the top layer
-        # (the top layer's excess was already removed by the sweep)
         surf = None
         if "surface_excess_water" in state:
-            surf = state.surface_excess_water + carry_top
+            surf = state.surface_excess_water + c[-1]
 
         # downward sweep (top -> bottom): carry = deficit water column [m]
-        def down(carry, xs):
-            s, d = xs
-            s = s - carry / d
-            deficit = jnp.maximum(-s, 0.0)
-            return deficit * d, s + deficit
-
-        carry_bot, sat_new = jax.lax.scan(
-            down, jnp.zeros(sat.shape[1:], dtype=sat.dtype),
-            (sat_up, dz_col), unroll=2, reverse=True)
-        # bottom deficit clipped to zero (mass-balance violation warning case)
-        from ...ops.vertical_ops import _row_mask
-        sat_new = jnp.where(_row_mask(sat_new.shape, 0),
-                            jnp.maximum(sat_new, 0.0), sat_new)
+        # pulled from below; same recurrence on reversed suffix sums.
+        b = -sat_up * dz_col
+        S2 = jax.lax.cumsum(b, axis=0, reverse=True)
+        c2 = S2 - jnp.minimum(jax.lax.cummin(S2, axis=0, reverse=True), 0.0)
+        c2_in = jnp.concatenate([c2[1:], zrow], axis=0)
+        # every adjusted layer is max(s - c_in/dz, 0), incl. the bottom clip
+        # of a residual deficit (mass-balance violation warning case)
+        sat_new = jnp.maximum(sat_up - c2_in / dz_col, 0.0)
 
         updates = {"saturation_water_ice": sat_new}
         if surf is not None:

@@ -107,6 +107,54 @@ def test_adjust_saturation_profile():
     np.testing.assert_allclose(state.saturation_water_ice, 0.0, atol=1e-12)
 
 
+def test_adjust_saturation_closed_form_matches_sequential_sweeps():
+    """The parallel cumsum/cummin formulation must reproduce the reference's
+    literal sequential up/down sweeps (`soil_hydrology.jl:185-218`)."""
+    import jax
+
+    rng = np.random.default_rng(42)
+    nz, cells = 23, 17
+    sat = jnp.asarray(rng.uniform(-0.4, 1.7, (nz, cells)))
+    dz = jnp.asarray(np.exp(rng.uniform(-2.0, 0.5, (nz, 1))))
+    dz_col = jnp.broadcast_to(dz, sat.shape)
+
+    def up(carry, xs):
+        s, d = xs
+        s = s + carry / d
+        excess = jnp.maximum(s - 1.0, 0.0)
+        return excess * d, s - excess
+
+    carry_top, sat_up = jax.lax.scan(
+        up, jnp.zeros((cells,), sat.dtype), (sat, dz_col))
+
+    def down(carry, xs):
+        s, d = xs
+        s = s - carry / d
+        deficit = jnp.maximum(-s, 0.0)
+        return deficit * d, s + deficit
+
+    _, sat_seq = jax.lax.scan(
+        down, jnp.zeros((cells,), sat.dtype), (sat_up, dz_col), reverse=True)
+
+    model = _richards_model(cells=cells, nz=nz)
+    grid = tt.ColumnGrid.of(
+        cells=cells, spacing=tt.PrescribedSpacing(np.asarray(dz)[::-1, 0]),
+        nf=np.float64)
+    np.testing.assert_allclose(np.asarray(grid.dz), np.asarray(dz), rtol=1e-15)
+    hydrology = model.soil.hydrology
+    sim = tt.initialize(_richards_model(cells=cells, nz=nz), tt.ForwardEuler(),
+                        initializers={"temperature": 1.0,
+                                      "saturation_water_ice": 1.0})
+    state = sim.state.update(saturation_water_ice=sat,
+                             surface_excess_water=jnp.zeros(cells))
+    # monkey-grid: reuse the sim state but adjust with the dz-matching grid
+    out = hydrology.adjust_saturation_profile(state, grid)
+    np.testing.assert_allclose(np.asarray(out.saturation_water_ice),
+                               np.asarray(sat_seq), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.surface_excess_water),
+                               np.asarray(carry_top), rtol=1e-12, atol=1e-12)
+
+
 def test_richards_saturated_steady_state():
     """Reference `soil_hydrology_tests.jl:125-151`."""
     model = _richards_model()
