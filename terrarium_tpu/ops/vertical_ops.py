@@ -25,6 +25,8 @@ __all__ = [
     "interp_faces_min",
     "div_faces",
     "apply_flux_bcs",
+    "cumsum_z",
+    "cummin_z",
 ]
 
 
@@ -35,6 +37,41 @@ def _row_mask(shape, row, dtype=None):
 
     idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     return idx == (row % shape[0])
+
+
+def cumsum_z(x, reverse: bool = False):
+    """Cumulative sum over the (tiny) z axis as a triangular matmul.
+
+    For ``Nz ~ 30`` a single ``(Nz, Nz) @ (Nz, cells)`` matmul on the MXU is
+    ~20x faster on TPU than a sequential ``lax.scan`` and several times
+    faster than the reduce-window lowering of ``jnp.cumsum`` (measured on the
+    N145 benchmark shapes). HIGHEST precision keeps the sums at true f32
+    accuracy instead of bf16 MXU passes."""
+    import jax
+
+    n = x.shape[0]
+    tri = jnp.tri(n, dtype=x.dtype)  # lower-triangular ones
+    if reverse:
+        tri = tri.T
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def cummin_z(x, reverse: bool = False):
+    """Cumulative minimum over the z axis via Hillis-Steele doubling:
+    ``ceil(log2 Nz)`` shifted-min passes, all vectorised over cells (min is
+    associative and order-independent, so this is exact)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad = jnp.full((d,) + x.shape[1:], jnp.inf, x.dtype)
+        if reverse:
+            x = jnp.minimum(x, jnp.concatenate([x[d:], pad], axis=0))
+        else:
+            x = jnp.minimum(x, jnp.concatenate([pad, x[:-d]], axis=0))
+        d *= 2
+    return x
 
 
 def ghosts(c, bc_bottom, bc_top, state, dz_faces):

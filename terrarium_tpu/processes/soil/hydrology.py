@@ -134,9 +134,11 @@ class SoilHydrology:
         recurrences ``c[k] = max(0, a[k] + c[k-1])`` on the water columns
         ``a[k] = (sat[k] - 1) * dz[k]`` (up) / ``-sat[k] * dz[k]`` (down),
         which have the closed form ``c = S - min(0, cummin(S))`` over prefix
-        sums ``S`` — so both sweeps run as fully parallel O(log Nz)
-        cumulative ops instead of sequential z-scans (no `lax.scan` on the
-        explicit hot path at all)."""
+        sums ``S`` — so both sweeps run as fully parallel cumulative ops
+        (MXU triangular-matmul cumsum + O(log Nz) doubling cummin) instead of
+        sequential z-scans (no `lax.scan` on the explicit hot path at all)."""
+        from ...ops.vertical_ops import cummin_z, cumsum_z
+
         sat = state.saturation_water_ice
         dz = grid.dz  # (Nz, 1)
         dz_col = jnp.broadcast_to(dz, sat.shape)
@@ -145,8 +147,8 @@ class SoilHydrology:
         # upward sweep (bottom -> top): carry c[k] = excess water [m] spilling
         # past layer k; layer k receives c[k-1] and clamps at saturation 1.
         a = (sat - 1.0) * dz_col
-        S = jnp.cumsum(a, axis=0)
-        c = S - jnp.minimum(jax.lax.cummin(S, axis=0), 0.0)
+        S = cumsum_z(a)
+        c = S - jnp.minimum(cummin_z(S), 0.0)
         c_in = jnp.concatenate([zrow, c[:-1]], axis=0)
         sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
 
@@ -158,8 +160,8 @@ class SoilHydrology:
         # downward sweep (top -> bottom): carry = deficit water column [m]
         # pulled from below; same recurrence on reversed suffix sums.
         b = -sat_up * dz_col
-        S2 = jax.lax.cumsum(b, axis=0, reverse=True)
-        c2 = S2 - jnp.minimum(jax.lax.cummin(S2, axis=0, reverse=True), 0.0)
+        S2 = cumsum_z(b, reverse=True)
+        c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
         c2_in = jnp.concatenate([c2[1:], zrow], axis=0)
         # every adjusted layer is max(s - c_in/dz, 0), incl. the bottom clip
         # of a residual deficit (mass-balance violation warning case)

@@ -66,13 +66,13 @@ class Simulation:
             # NOTE: no buffer donation — aux updates may alias input buffers
             # (e.g. rainfall_ground = rainfall with NoCanopyInterception), and
             # donation rejects duplicated buffers in the argument pytree.
+            from ..utils.scan_dce import lean_rollout
+
             @partial(jax.jit, static_argnums=(2,))
             def rollout(state, dt, n):
-                def body(s, _):
-                    return ts.step(model, s, ctx, sources, dt), None
-
-                state, _ = jax.lax.scan(body, state, None, length=n)
-                return state
+                return lean_rollout(
+                    lambda s, d: ts.step(model, s, ctx, sources, d),
+                    state, dt, n)
 
             self._rollout_fns[n_inner] = partial(rollout, n=n_inner)
         return self._rollout_fns[n_inner]
