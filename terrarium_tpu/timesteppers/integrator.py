@@ -70,6 +70,16 @@ class Simulation:
 
             @partial(jax.jit, static_argnums=(2,))
             def rollout(state, dt, n):
+                if hasattr(ts, "pre_closure_step"):
+                    # closure-rotated cycle: closure ∘ (pre_closure_step)^n
+                    # == step^n, but the scan carry shrinks to prognostics
+                    # (+ clock/inputs) — closure vars are recomputed on-chip
+                    # each iteration instead of round-tripping through HBM.
+                    state = lean_rollout(
+                        lambda s, d: ts.pre_closure_step(model, s, ctx,
+                                                         sources, d),
+                        state, dt, n)
+                    return model.closure(state, ctx)
                 return lean_rollout(
                     lambda s, d: ts.step(model, s, ctx, sources, d),
                     state, dt, n)

@@ -65,6 +65,21 @@ class ForwardEuler:
         state = model.closure(state, ctx)
         return state.tick(dt)
 
+    def pre_closure_step(self, model, state: State, ctx, input_sources, dt) -> State:
+        """Closure-rotated step for lean rollouts: ``closure`` runs at the
+        *start* instead of the end, so closure variables (temperature,
+        liquid fraction, pressure head) are recomputed from prognostics each
+        iteration rather than carried through the scan. Since ``step`` ends
+        with ``closure`` and closure is idempotent on a closure-consistent
+        state, ``closure ∘ (pre_closure_step)^n ∘ …`` equals ``step^n``
+        exactly (see `utils/scan_dce.lean_rollout`)."""
+        grid = model.grid
+        state = model.closure(state, ctx)
+        state = update_state(model, state, ctx, input_sources)
+        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = model.timestep(state, ctx, dt)
+        return state.tick(dt)
+
 
 @dataclasses.dataclass(frozen=True)
 class Heun:
@@ -97,4 +112,26 @@ class Heun:
         state = explicit_step(state, grid, ctx.bcs, dt)
         state = model.timestep(state, ctx, dt)
         state = model.closure(state, ctx)
+        return state.tick(dt)
+
+    def pre_closure_step(self, model, state: State, ctx, input_sources, dt) -> State:
+        """Closure-rotated Heun step (see `ForwardEuler.pre_closure_step`):
+        the trailing closure of `step` moves to the front; the predictor
+        stage's internal closure stays in place."""
+        grid = model.grid
+        state = model.closure(state, ctx)
+        state = update_state(model, state, ctx, input_sources)
+
+        stage = explicit_step(state, grid, ctx.bcs, dt)
+        stage = model.timestep(stage, ctx, dt)
+        stage = model.closure(stage, ctx)
+        stage = stage.tick(dt)
+        stage = update_state(model, stage, ctx, input_sources)
+
+        avg = {k: 0.5 * (state.tendencies[k] + stage.tendencies[k])
+               for k in state.tendencies}
+        state = dataclasses.replace(state, tendencies=avg)
+
+        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = model.timestep(state, ctx, dt)
         return state.tick(dt)
