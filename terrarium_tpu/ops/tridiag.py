@@ -1,20 +1,24 @@
-"""Batched tridiagonal (Thomas) solver.
+"""Batched tridiagonal solvers (Thomas scan + parallel cyclic reduction).
 
 New capability relative to the reference (which has only explicit steppers;
 see SURVEY §2.3): per-column implicit solves batched over the packed cell
-axis. Arrays are ``(Nz, cells)`` — the solve runs as a `lax.scan` over z with
-``(cells,)`` carries, i.e. one vectorised forward sweep + back substitution
-per column batch. A fused Pallas version lives in
-:mod:`terrarium_tpu.ops.pallas_kernels` for the TPU hot path.
+axis. Arrays are ``(Nz, cells)``.
 
-The scan formulation is differentiable (used by the jax.grad test battery).
+* :func:`tridiag_solve` — the classic Thomas algorithm as a `lax.scan` over
+  z with ``(cells,)`` carries (one vectorised forward sweep + back
+  substitution per column batch). Differentiable; used by the jax.grad
+  test battery.
+* :func:`tridiag_solve_pcr` — parallel cyclic reduction: ``ceil(log2 Nz)``
+  fully-vectorised elimination rounds with no sequential z dependence, the
+  TPU-friendly form (stable for the diagonally-dominant systems produced by
+  the implicit heat/Richards discretizations).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tridiag_solve"]
+__all__ = ["tridiag_solve", "tridiag_solve_pcr"]
 
 
 def tridiag_solve(a, b, c, d):
@@ -52,3 +56,38 @@ def tridiag_solve(a, b, c, d):
 
     _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=2, reverse=True)
     return x
+
+
+def _shift_down(x, s, pad):
+    """x_{k-s} with constant padding (concat-only: Mosaic-friendly)."""
+    rows = jnp.full((s,) + x.shape[1:], pad, x.dtype)
+    return jnp.concatenate([rows, x[:-s]], axis=0)
+
+
+def _shift_up(x, s, pad):
+    """x_{k+s} with constant padding."""
+    rows = jnp.full((s,) + x.shape[1:], pad, x.dtype)
+    return jnp.concatenate([x[s:], rows], axis=0)
+
+
+def tridiag_solve_pcr(a, b, c, d):
+    """Parallel-cyclic-reduction solve of the same system as
+    :func:`tridiag_solve`. Out-of-range neighbor rows act as the identity
+    (a=c=0, b=1, d=0), so boundary handling is pure padding."""
+    n = a.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    a = jnp.where(idx == 0, 0.0, a)  # a[0], c[-1] are ignored by contract
+    c = jnp.where(idx == n - 1, 0.0, c)
+
+    s = 1
+    while s < n:
+        alpha = -a / _shift_down(b, s, 1.0)
+        gamma = -c / _shift_up(b, s, 1.0)
+        b = (b + alpha * _shift_down(c, s, 0.0)
+             + gamma * _shift_up(a, s, 0.0))
+        d = (d + alpha * _shift_down(d, s, 0.0)
+             + gamma * _shift_up(d, s, 0.0))
+        a = alpha * _shift_down(a, s, 0.0)
+        c = gamma * _shift_up(c, s, 0.0)
+        s *= 2
+    return d / b

@@ -10,7 +10,7 @@ import numpy as np
 from scipy.special import erfc
 
 import terrarium_tpu as tt
-from terrarium_tpu.ops.tridiag import tridiag_solve
+from terrarium_tpu.ops.tridiag import tridiag_solve, tridiag_solve_pcr
 
 
 def test_tridiag_solver_matches_dense(rng):
@@ -25,6 +25,22 @@ def test_tridiag_solver_matches_dense(rng):
         M = np.diag(b[:, j]) + np.diag(a[1:, j], -1) + np.diag(c[:-1, j], 1)
         np.testing.assert_allclose(x[:, j], np.linalg.solve(M, d[:, j]),
                                    rtol=1e-10)
+
+
+def test_tridiag_pcr_matches_thomas(rng):
+    """Parallel cyclic reduction == Thomas scan on diagonally-dominant
+    systems (incl. non-power-of-two Nz)."""
+    for nz in (2, 7, 30, 33):
+        cells = 9
+        a = rng.uniform(-1.0, 0.0, (nz, cells))
+        c = rng.uniform(-1.0, 0.0, (nz, cells))
+        b = 2.5 + rng.uniform(0.0, 1.0, (nz, cells))
+        d = rng.normal(size=(nz, cells))
+        x1 = np.asarray(tridiag_solve(jnp.asarray(a), jnp.asarray(b),
+                                      jnp.asarray(c), jnp.asarray(d)))
+        x2 = np.asarray(tridiag_solve_pcr(jnp.asarray(a), jnp.asarray(b),
+                                          jnp.asarray(c), jnp.asarray(d)))
+        np.testing.assert_allclose(x2, x1, rtol=1e-10, atol=1e-12)
 
 
 def _solid_medium_model(spacing, k=2.0, c=1.0e6, cells=1):
