@@ -32,14 +32,19 @@ __all__ = [
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
 class TimeInterval:
-    """Actuates every ``interval`` seconds of simulation time."""
+    """Actuates at every multiple of ``interval`` seconds of simulation time
+    (first actuation at ``t = interval``, like Oceananigans)."""
 
     interval: float
     _next: float = 0.0
 
     def actuates(self, sim) -> bool:
+        if self._next == 0.0:
+            self._next = self.interval
         if sim.current_time + 1e-9 >= self._next:
-            self._next = sim.current_time + self.interval
+            # align to multiples so frequent callbacks don't drift the phase
+            k = int((sim.current_time + 1e-9) // self.interval) + 1
+            self._next = k * self.interval
             return True
         return False
 
@@ -61,21 +66,10 @@ class IterationInterval:
 
 
 @dataclasses.dataclass
-class AveragedTimeInterval:
+class AveragedTimeInterval(TimeInterval):
     """Like :class:`TimeInterval` but the writer stores the time mean of the
-    snapshots accumulated since the last actuation."""
-
-    interval: float
-    _next: float = 0.0
-
-    def actuates(self, sim) -> bool:
-        if sim.current_time + 1e-9 >= self._next:
-            self._next = sim.current_time + self.interval
-            return True
-        return False
-
-    def steps_hint(self, dt) -> int:
-        return max(1, int(round(self.interval / dt)))
+    snapshots accumulated since the last actuation (run with a small
+    ``callback_interval`` so several snapshots land in each window)."""
 
 
 # ---------------------------------------------------------------------------

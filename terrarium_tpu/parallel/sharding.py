@@ -20,9 +20,31 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["cell_mesh", "shard_state", "state_shardings", "replicate"]
+__all__ = ["cell_mesh", "shard_state", "state_shardings", "replicate",
+           "initialize_distributed"]
 
 CELL_AXIS = "cells"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Initialize multi-host execution (`jax.distributed.initialize`).
+
+    Call once per host before building grids; afterwards `jax.devices()`
+    spans the whole pod slice and `cell_mesh()` / `shard_state` work
+    unchanged — the cell axis is decomposed across all hosts' chips over
+    ICI/DCN. Arguments default to cluster auto-detection (TPU pod
+    environment variables). Returns the process index. No-ops gracefully in
+    single-process environments.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # already initialized or single-process
+    return jax.process_index()
 
 
 def cell_mesh(devices=None, axis_name: str = CELL_AXIS) -> Mesh:

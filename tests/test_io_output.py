@@ -52,6 +52,33 @@ def test_time_interval_schedule(tmp_path):
     np.testing.assert_allclose(data["time"], [1800.0, 3600.0])
 
 
+def test_averaged_time_interval(tmp_path):
+    """AveragedTimeInterval stores the time mean of snapshots since the last
+    actuation (reference: Oceananigans `AveragedTimeInterval`,
+    `docs/src/running/time_stepping.md:97-175`)."""
+    from terrarium_tpu.io.output import AveragedTimeInterval
+
+    sim = _sim()
+    path = str(tmp_path / "out_avg.h5")
+    writer = FieldTimeSeriesWriter(path, ["ground_temperature"],
+                                   schedule=AveragedTimeInterval(1800.0))
+    # also record every step for the expected mean
+    snaps, times = [], []
+
+    def recorder(s):
+        snaps.append(np.asarray(s.state.ground_temperature).copy())
+        times.append(s.current_time)
+
+    sim.run(steps=12, dt=300.0, callbacks=[recorder, writer],
+            callback_interval=1)
+    data = load_field_time_series(path)
+    assert data["time"].shape[0] == 2
+    # first actuation at t=1800 averages the first 6 per-step snapshots
+    first6 = np.mean(np.stack(snaps[:6]), axis=0)
+    np.testing.assert_allclose(data["ground_temperature"][0], first6,
+                               rtol=1e-12)
+
+
 def test_checkpoint_resume(tmp_path):
     """Bit-exact resume: run 20 steps straight vs 10 + checkpoint + 10."""
     dt = 300.0
