@@ -1,0 +1,21 @@
+"""Smoke-run the cheap example scripts (the reference runs its examples in a
+dedicated CI lane, `examples_CI.yml` — SURVEY §4). Executed in-process so
+the conftest's CPU backend applies; the heavy global examples
+(`soil_heat_global.py`, `land_global.py`) are exercised on the real chip
+instead (they also power the benchmark configs).
+"""
+import pathlib
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
+
+
+@pytest.mark.parametrize("script", ["extending_linear_heat.py",
+                                    "esm_coupling.py"])
+def test_example_runs(script, monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)  # scripts may write output files
+    monkeypatch.setattr(sys, "argv", [script])
+    runpy.run_path(str(EXAMPLES / script), run_name="__main__")
