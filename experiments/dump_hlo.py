@@ -1,0 +1,30 @@
+"""Dump the TPU-compiled HLO of the bench rollout for traffic analysis."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from experiments.ab_unroll import build_sim
+
+    sim, cells = build_sim()
+    roll_inner = sim._rollout_fn(60)
+    # grab the underlying jit fn: partial(rollout, n=60) of a jitted rollout
+    jitted = roll_inner.func
+    lowered = jitted.lower(sim.state, 60.0, 60)
+    txt = lowered.compile().as_text()
+    out = "/root/repo/experiments/rollout_tpu.hlo"
+    with open(out, "w") as f:
+        f.write(txt)
+    print(f"wrote {len(txt)} bytes to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,9 @@ class Simulation:
         self.ctx = model.make_context(bcs=self.bcs)
         self._step_fn = None
         self._rollout_fns = {}
+        #: `lax.scan` unroll factor for multi-step rollouts (perf knob;
+        #: bit-identical results for any value).
+        self.scan_unroll = 1
 
     # -- compiled step ----------------------------------------------------
     @property
@@ -59,7 +62,8 @@ class Simulation:
         return self._step_fn
 
     def _rollout_fn(self, n_inner: int):
-        if n_inner not in self._rollout_fns:
+        key = (n_inner, int(self.scan_unroll))
+        if key not in self._rollout_fns:
             model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
                                        self.input_sources)
 
@@ -67,6 +71,8 @@ class Simulation:
             # (e.g. rainfall_ground = rainfall with NoCanopyInterception), and
             # donation rejects duplicated buffers in the argument pytree.
             from ..utils.scan_dce import lean_rollout
+
+            unroll = int(self.scan_unroll)
 
             @partial(jax.jit, static_argnums=(2,))
             def rollout(state, dt, n):
@@ -78,14 +84,14 @@ class Simulation:
                     state = lean_rollout(
                         lambda s, d: ts.pre_closure_step(model, s, ctx,
                                                          sources, d),
-                        state, dt, n)
+                        state, dt, n, unroll=unroll)
                     return model.closure(state, ctx)
                 return lean_rollout(
                     lambda s, d: ts.step(model, s, ctx, sources, d),
-                    state, dt, n)
+                    state, dt, n, unroll=unroll)
 
-            self._rollout_fns[n_inner] = partial(rollout, n=n_inner)
-        return self._rollout_fns[n_inner]
+            self._rollout_fns[key] = partial(rollout, n=n_inner)
+        return self._rollout_fns[key]
 
     # -- public API (mirrors `model_integrator.jl`) -----------------------
     @property

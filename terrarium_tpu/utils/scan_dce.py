@@ -40,11 +40,13 @@ def _dead_input_mask(flat_step, leaves, dt):
         return [True] * (len(leaves) + 1)
 
 
-def lean_rollout(step, state, dt, n: int):
+def lean_rollout(step, state, dt, n: int, unroll: int = 1):
     """Apply ``state = step(state, dt)`` ``n`` times; the first ``n - 1``
     applications run under a `lax.scan` whose carry holds only the live state
     leaves, the last one runs on the full state. Bit-identical to a
-    sequential loop of ``step``."""
+    sequential loop of ``step``. ``unroll`` is forwarded to ``lax.scan``
+    (XLA replicates the body per unrolled iteration, amortizing loop
+    bookkeeping and enabling cross-step fusion)."""
     if n <= 0:
         return state
     leaves, treedef = jax.tree.flatten(state)
@@ -73,13 +75,14 @@ def lean_rollout(step, state, dt, n: int):
             return [out[i] for i in live], None
 
         carry, _ = jax.lax.scan(body, [leaves[i] for i in live], None,
-                                length=n - 1)
+                                length=n - 1, unroll=min(unroll, n - 1))
         state = jax.tree.unflatten(treedef, rebuild(carry))
     elif n > 1:
         def body_full(lv, _):
             return flat_step(lv, dt), None
 
-        leaves, _ = jax.lax.scan(body_full, leaves, None, length=n - 1)
+        leaves, _ = jax.lax.scan(body_full, leaves, None, length=n - 1,
+                                 unroll=min(unroll, n - 1))
         state = jax.tree.unflatten(treedef, leaves)
 
     return step(state, dt)

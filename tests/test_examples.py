@@ -13,9 +13,12 @@ import pytest
 EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 
 
-@pytest.mark.parametrize("script", ["extending_linear_heat.py",
-                                    "esm_coupling.py"])
-def test_example_runs(script, monkeypatch, tmp_path):
+@pytest.mark.parametrize("script,argv", [
+    ("extending_linear_heat.py", []),
+    ("esm_coupling.py", []),
+    ("extending_snow_ddm.py", ["--days", "1"]),
+])
+def test_example_runs(script, argv, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # scripts may write output files
-    monkeypatch.setattr(sys, "argv", [script])
+    monkeypatch.setattr(sys, "argv", [script] + argv)
     runpy.run_path(str(EXAMPLES / script), run_name="__main__")
