@@ -58,17 +58,75 @@ def cumsum_z(x, reverse: bool = False):
         precision=jax.lax.Precision.HIGHEST)
 
 
+#: Implementation used by :func:`cummin_z` (all exact and bit-identical;
+#: chosen by measurement on the N145 benchmark, see docs/performance.md):
+#: * ``"pad"`` — each Hillis-Steele shift as ONE `lax.pad` with negative
+#:   high-padding (trim d rows) + positive low-padding (d fill rows), which
+#:   folds into the stage's minimum fusion on TPU (no separate row-slice
+#:   copy kernel).
+#: * ``"hs"`` — plain shifted-concatenate stages (lowered as slice +
+#:   pad/minimum fusion: one extra copy kernel per stage).
+#: * ``"dot"`` — shifts as (Nz, Nz) permutation matmuls on the MXU
+#:   (measured 12% slower end-to-end: HIGHEST-precision dot passes cost
+#:   more than the slice copies they remove).
+CUMMIN_IMPL = "pad"
+
+#: Radix of the doubling recursion under ``CUMMIN_IMPL == "pad"``: each stage
+#: mins ``radix - 1`` shifted copies (all folded into one fusion by XLA), so
+#: stages = ceil(log_radix Nz). Radix 2 = classic Hillis-Steele.
+CUMMIN_RADIX = 2
+
+
+def _shift_min_stage_dot(x, d: int, reverse: bool):
+    """One Hillis-Steele stage ``x = min(x, shift_d(x))`` with the shift done
+    as a permutation matmul (trace-time-constant 0/1 matrix): the vacated
+    rows are masked back to ``x`` (identity for min would be +inf)."""
+    import jax
+
+    n = x.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    P = ((j == i + d) if reverse else (j == i - d)).astype(x.dtype)
+    y = jax.lax.dot_general(P, x, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    k = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = (k < n - d) if reverse else (k >= d)
+    return jnp.where(valid, jnp.minimum(x, y), x)
+
+
 def cummin_z(x, reverse: bool = False):
     """Cumulative minimum over the z axis via Hillis-Steele doubling:
     ``ceil(log2 Nz)`` shifted-min passes, all vectorised over cells (min is
-    associative and order-independent, so this is exact)."""
+    associative and order-independent, so this is exact). Stage shifts run
+    as permutation matmuls when ``CUMMIN_IMPL == "dot"`` (see above)."""
+    import jax
+
     n = x.shape[0]
+    zero = (0, 0, 0)
     d = 1
     while d < n:
-        pad = jnp.full((d,) + x.shape[1:], jnp.inf, x.dtype)
-        if reverse:
+        if CUMMIN_IMPL == "pad":
+            # pure radix-r parallel-prefix stage: min of (r-1) shifted copies
+            # of the SAME stage input -> one fusion, no recomputation chains
+            acc = x
+            for s in range(1, CUMMIN_RADIX):
+                sd = s * d
+                if sd >= n:
+                    break
+                cfg = (-sd, sd, 0) if reverse else (sd, -sd, 0)
+                shifted = jax.lax.pad(x, jnp.asarray(jnp.inf, x.dtype),
+                                      (cfg,) + (zero,) * (x.ndim - 1))
+                acc = jnp.minimum(acc, shifted)
+            x = acc
+            d *= CUMMIN_RADIX
+            continue
+        elif CUMMIN_IMPL == "dot" and x.ndim == 2:
+            x = _shift_min_stage_dot(x, d, reverse)
+        elif reverse:
+            pad = jnp.full((d,) + x.shape[1:], jnp.inf, x.dtype)
             x = jnp.minimum(x, jnp.concatenate([x[d:], pad], axis=0))
         else:
+            pad = jnp.full((d,) + x.shape[1:], jnp.inf, x.dtype)
             x = jnp.minimum(x, jnp.concatenate([pad, x[:-d]], axis=0))
         d *= 2
     return x

@@ -17,6 +17,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
     ("extending_linear_heat.py", []),
     ("esm_coupling.py", []),
     ("extending_snow_ddm.py", ["--days", "1"]),
+    ("extending_exp_growth.py", []),
 ])
 def test_example_runs(script, argv, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # scripts may write output files

@@ -146,3 +146,36 @@ def test_stratigraphy_porosity_mix():
     np.testing.assert_allclose(organic, 65.0 / ((1 - 0.8) * 1300.0))
     por = strat.bulk_porosity(bgc, None, None)
     np.testing.assert_allclose(por, (1 - organic) * 0.4 + organic * 0.8)
+
+
+def test_cummin_cumsum_variants_exact():
+    """All cummin_z implementations/radices are bit-identical to numpy's
+    sequential accumulate (min is exact under reordering); cumsum_z matches
+    numpy at f32. The variants are perf knobs only (docs/performance.md)."""
+    import jax.numpy as jnp
+
+    from terrarium_tpu.ops import vertical_ops as V
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((30, 13)).astype(np.float32))
+    fwd = np.minimum.accumulate(np.asarray(x), axis=0)
+    rev = np.minimum.accumulate(np.asarray(x)[::-1], axis=0)[::-1]
+    impl0, radix0 = V.CUMMIN_IMPL, V.CUMMIN_RADIX
+    try:
+        for impl, radix in (("hs", 2), ("dot", 2), ("pad", 2), ("pad", 4),
+                            ("pad", 8), ("pad", 32)):
+            V.CUMMIN_IMPL, V.CUMMIN_RADIX = impl, radix
+            assert np.array_equal(np.asarray(V.cummin_z(x)), fwd), (impl, radix)
+            assert np.array_equal(np.asarray(V.cummin_z(x, reverse=True)),
+                                  rev), (impl, radix)
+    finally:
+        V.CUMMIN_IMPL, V.CUMMIN_RADIX = impl0, radix0
+
+    # different summation order than sequential numpy: compare with an
+    # absolute tolerance scaled to the running-sum magnitude (relative
+    # tolerance blows up where sums cross zero)
+    s = np.asarray(V.cumsum_z(x))
+    np.testing.assert_allclose(s, np.cumsum(np.asarray(x), axis=0), atol=1e-5)
+    s2 = np.asarray(V.cumsum_z(x, reverse=True))
+    np.testing.assert_allclose(
+        s2, np.cumsum(np.asarray(x)[::-1], axis=0)[::-1], atol=1e-5)
