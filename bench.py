@@ -63,7 +63,13 @@ def main():
             lambda t: 5.0 * jax.numpy.sin(2 * jax.numpy.pi * t / 86400.0)),
     )
 
-    steps_per_block = 60  # one simulated hour per timed block
+    # Large timed blocks: dispatch+sync through the remote tunnel costs
+    # ~30-40 ms per call (measured, experiments/ab_blocksize.py), so timing
+    # single simulated hours (60 steps ~ 0.7 s of compute at production
+    # speed) would understate steady-state throughput by ~5x. Production
+    # rollouts run exactly like this — one on-device scan per output
+    # interval. 5760 steps = 4 simulated days per block.
+    steps_per_block = 5760
     roll = sim._rollout_fn(steps_per_block)
 
     def sync(state):
@@ -100,7 +106,8 @@ def main():
         "vs_baseline": 1.0,
         "detail": {
             "cells": cells, "nz": nz, "dt_s": dt,
-            "median_s_per_sim_hour": round(med, 4),
+            "steps_per_block": steps_per_block,
+            "median_s_per_sim_hour": round(med / (steps_per_block * dt / 3600.0), 4),
             "sypd": round(sypd, 2),
             "compile_s": round(compile_s, 2),
             "backend": jax.devices()[0].platform,
