@@ -73,8 +73,12 @@ CUMMIN_IMPL = "pad"
 
 #: Radix of the doubling recursion under ``CUMMIN_IMPL == "pad"``: each stage
 #: mins ``radix - 1`` shifted copies (all folded into one fusion by XLA), so
-#: stages = ceil(log_radix Nz). Radix 2 = classic Hillis-Steele.
-CUMMIN_RADIX = 2
+#: stages = ceil(log_radix Nz). Radix 2 = classic Hillis-Steele. Radix 4
+#: measured ~+1% on the N145 benchmark at production block sizes (3 stages
+#: instead of 5 for Nz=30); radix 6/8 are slower — the stages are VPU-bound,
+#: so wider min trees cost more than the fusion launches they remove
+#: (experiments/ab_radix_bigblock.py).
+CUMMIN_RADIX = 4
 
 
 def _shift_min_stage_dot(x, d: int, reverse: bool):
