@@ -179,3 +179,28 @@ def test_cummin_cumsum_variants_exact():
     s2 = np.asarray(V.cumsum_z(x, reverse=True))
     np.testing.assert_allclose(
         s2, np.cumsum(np.asarray(x)[::-1], axis=0)[::-1], atol=1e-5)
+
+
+def test_input_variable_bc_drives_physics():
+    """A Dirichlet BC referencing an input variable by name (reference
+    `getbc` Variable-placeholder semantics, `boundary_conditions.jl:25-28`)
+    must read the forcing value each step — not a stale zero. A warm
+    constant forcing must pull the top soil layer toward it."""
+    import terrarium_tpu as tt
+
+    grid = tt.ColumnGrid.of(cells=4, spacing=tt.ExponentialSpacing(N=10),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    hours = np.arange(0.0, 3 * 86400.0, 3600.0)
+    ts = np.full((hours.size, 4), 10.0)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=300.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.8},
+        boundary_conditions=tt.PrescribedSurfaceTemperature("surface_temperature"),
+        input_sources=(forcing,))
+    sim.run(steps=288, dt=300.0)
+    top = np.asarray(sim.state.temperature)[-1]
+    assert np.all(top > 5.0), top  # warming toward the 10 degC forcing
+    assert np.all(top < 10.0 + 1e-6), top
