@@ -1,0 +1,256 @@
+"""Per-config benchmark suite for the five BASELINE.json workloads.
+
+`bench.py` remains the driver's single-line headline benchmark (N145 soil
+heat + Richards, explicit). This suite measures all five BASELINE configs on
+the real chip and prints ONE JSON line per config:
+
+1. column_heat_explicit      — single-column SoilModel, heat only, ForwardEuler
+                               (reference `examples/simulations/soil_heat_column.jl`)
+2. column_implicit_tridiag   — heat + Richards, ImplicitEuler (PCR tridiagonal
+                               solves), N145-sized cell batch (new capability —
+                               the reference has only explicit steppers)
+3. global_heat_n72_forcing   — soil heat over the masked N72 ERA5-land grid
+                               with a time-interpolated forcing source
+                               (reference `examples/simulations/soil_heat_global.jl`)
+4. land_coupled_n145         — full LandModel (SEB + surface hydrology +
+                               PALADYN vegetation + soil heat/water) on N145
+5. grad_n145_heat            — value_and_grad of mean final soil temperature
+                               wrt mineral conductivity through a remat
+                               rollout on N145 (fwd+bwd per step counted)
+
+Timing methodology matches bench.py: large on-device scan blocks (the
+dispatch+sync tunnel costs ~35 ms/call), persistent compilation cache,
+median of 5 blocks.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(x)))
+
+
+def _time_blocks(roll, state, dt, sync_leaf, reps=5):
+    t0 = time.perf_counter()
+    state = roll(state, dt)
+    _sync(sync_leaf(state))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = roll(state, dt)
+        _sync(sync_leaf(state))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), compile_s, state
+
+
+def _emit(name, cells, steps, med_s, compile_s, dt, extra=None):
+    rec = {
+        "config": name,
+        "metric": "cells_steps_per_s_per_chip",
+        "value": round(cells * steps / med_s, 1),
+        "unit": "cells*steps/s",
+        "detail": {"cells": cells, "steps_per_block": steps, "dt_s": dt,
+                   "median_block_s": round(med_s, 4),
+                   "steps_per_s": round(steps / med_s, 1),
+                   "compile_s": round(compile_s, 2), **(extra or {})},
+    }
+    print(json.dumps(rec), flush=True)
+
+
+def _ring_grid(n, nz, tt, pad_multiple=8):
+    mask, _, _ = tt.load_land_mask(
+        f"/root/reference/inputs/era5-land_land_sea_mask_N{n}.nc")
+    ring = tt.full_gaussian_grid(n)
+    return tt.ColumnRingGrid.create(
+        ring, mask, spacing=tt.ExponentialSpacing(N=nz),
+        nf=np.float32, pad_multiple=pad_multiple)
+
+
+def config1_column_heat(tt):
+    grid = tt.ColumnGrid.of(cells=1, spacing=tt.ExponentialSpacing(N=30),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=300.0),
+        initializers={"temperature": -2.0, "saturation_water_ice": 1.0},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            _diurnal_bc()),
+    )
+    steps = 57600
+    roll = sim._rollout_fn(steps)
+    med, comp, _ = _time_blocks(roll, sim.state, 300.0,
+                                lambda s: s.prognostic["internal_energy"])
+    _emit("column_heat_explicit", 1, steps, med, comp, 300.0)
+
+
+def _diurnal_bc():
+    import jax.numpy as jnp
+
+    return lambda t: 5.0 * jnp.sin(2 * jnp.pi * t / 86400.0)
+
+
+def _n145_cells():
+    import h5py
+
+    with h5py.File("/root/reference/inputs/era5-land_land_sea_mask_N145.nc",
+                   "r") as f:
+        return int((np.asarray(f["lsm"][0]) > 0.5).sum())
+
+
+def config2_implicit(tt):
+    cells = _n145_cells()
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=30),
+                            nf=np.float32)
+    hydrology = tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(),
+        hydraulic_properties=tt.ConstantSoilHydraulics(
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten()))
+    model = tt.SoilModel(grid=grid,
+                         soil=tt.SoilEnergyWaterCarbon(hydrology=hydrology))
+    sim = tt.initialize(
+        model, tt.ImplicitEuler(dt=900.0),
+        initializers={
+            "temperature": lambda x, z: 1.0 + 0.0 * z,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z),
+        },
+        boundary_conditions=tt.PrescribedSurfaceTemperature(_diurnal_bc()),
+    )
+    steps = 1920  # 20 simulated days at dt=900
+    roll = sim._rollout_fn(steps)
+    med, comp, _ = _time_blocks(roll, sim.state, 900.0,
+                                lambda s: s.prognostic["internal_energy"])
+    _emit("column_implicit_tridiag", cells, steps, med, comp, 900.0,
+          {"solver": "pcr"})
+
+
+def config3_global_heat_n72(tt):
+    grid = _ring_grid(72, 30, tt)
+    model = tt.SoilModel(grid=grid)
+    lat = np.asarray(grid.cell_lats, dtype=np.float64)
+    T_mean = 25.0 * np.maximum(np.cos(np.deg2rad(lat)), 0.05) - 5.0
+    hours = np.arange(0.0, 31 * 86400.0, 3600.0)
+    ts = (T_mean[None, :]
+          + 8.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=300.0),
+        initializers={"temperature": lambda x, z: T_mean[None, :] + 0.0 * z,
+                      "saturation_water_ice": 0.8},
+        boundary_conditions=tt.PrescribedSurfaceTemperature("surface_temperature"),
+        input_sources=(forcing,),
+    )
+    steps = 5760  # 20 simulated days at dt=300
+    roll = sim._rollout_fn(steps)
+    med, comp, _ = _time_blocks(roll, sim.state, 300.0,
+                                lambda s: s.prognostic["internal_energy"])
+    _emit("global_heat_n72_forcing", grid.cells, steps, med, comp, 300.0,
+          {"land_cells": int(grid.n_land)})
+
+
+def config4_land_coupled_n145(tt):
+    import jax.numpy as jnp
+
+    grid = _ring_grid(145, 20, tt)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()),
+    )
+    model = tt.LandModel(grid=grid, vegetation=tt.VegetationCarbon(), soil=soil)
+    lat = np.asarray(grid.cell_lats, dtype=np.float64)
+    coslat = np.maximum(np.cos(np.deg2rad(lat)), 0.05)
+    T_mean = 28.0 * coslat - 8.0
+    hours = np.arange(0.0, 31 * 86400.0, 3600.0)
+    day_frac = hours / 86400.0
+    sw = (900.0 * coslat[None, :]
+          * np.maximum(0.0, np.sin(2 * np.pi * (day_frac[:, None] - 0.25))))
+    ta = T_mean[None, :] + 6.0 * np.sin(2 * np.pi * (day_frac[:, None] - 0.3))
+    forcing = tt.TimeSeriesInputSource(
+        times=hours, series={"surface_shortwave_down": sw.astype(np.float32),
+                             "air_temperature": ta.astype(np.float32)})
+    static = tt.FieldInputSource(fields={"surface_longwave_down": 330.0,
+                                         "rainfall": 4.0e-8, "windspeed": 3.0})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=600.0),
+        initializers={"temperature": lambda x, z: T_mean[None, :] + 0.0 * z,
+                      "saturation_water_ice": 0.6,
+                      "carbon_vegetation": 2.0,
+                      "vegetation_area_fraction": 0.5},
+        input_sources=(forcing, static),
+    )
+    steps = 1440  # 10 simulated days at dt=600
+    roll = sim._rollout_fn(steps)
+    med, comp, _ = _time_blocks(roll, sim.state, 600.0,
+                                lambda s: s.prognostic["internal_energy"])
+    _emit("land_coupled_n145", grid.cells, steps, med, comp, 600.0,
+          {"land_cells": int(grid.n_land), "nz": 20})
+
+
+def config5_grad_n145(tt):
+    import jax
+    import jax.numpy as jnp
+
+    from terrarium_tpu.timesteppers.autodiff import make_rollout_fn
+
+    grid = _ring_grid(145, 20, tt)
+    steps = 288
+
+    def mean_final_temperature(k_mineral):
+        tp = tt.SoilThermalProperties(
+            conductivities=tt.SoilThermalConductivities(mineral=k_mineral))
+        soil = tt.SoilEnergyWaterCarbon(
+            energy=tt.SoilEnergyBalance(thermal_properties=tp))
+        model = tt.SoilModel(grid=grid, soil=soil)
+        sim = tt.initialize(
+            model, tt.ForwardEuler(),
+            initializers={"temperature": -1.0, "saturation_water_ice": 0.8},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+        roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
+                               steps=steps, remat=True)
+        out = roll(sim.state, 300.0)
+        return jnp.mean(out.temperature)
+
+    vg = jax.jit(jax.value_and_grad(mean_final_temperature))
+    t0 = time.perf_counter()
+    v, g = vg(3.8)
+    float(v), float(g)
+    comp = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        v, g = vg(3.8)
+        float(v), float(g)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    _emit("grad_n145_heat", grid.cells, steps, med, comp, 300.0,
+          {"land_cells": int(grid.n_land), "includes": "forward+backward",
+           "dT_dk_mineral": round(float(g), 6)})
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import terrarium_tpu as tt
+
+    for fn in (config1_column_heat, config2_implicit, config3_global_heat_n72,
+               config4_land_coupled_n145, config5_grad_n145):
+        try:
+            fn(tt)
+        except Exception as e:  # keep the suite going; report the failure
+            print(json.dumps({"config": fn.__name__, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

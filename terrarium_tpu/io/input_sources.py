@@ -87,6 +87,47 @@ class TimeSeriesInputSource:
         return state.update(updates)
 
 
+# -- pytree registration ----------------------------------------------------
+# Sources are registered as JAX pytrees so the integrator can pass them as
+# *runtime arguments* to the jitted step/rollout instead of closure captures.
+# Closure-captured arrays are baked into the HLO as literal constants — at
+# N145 coupled scale the (T, cells) forcing series are ~170 MB each, which
+# bloats the executable and exceeds the remote-compile request limit
+# (observed HTTP 413). As pytree leaves they lower to ordinary parameters.
+
+def _flatten_field_source(src: FieldInputSource):
+    names = tuple(sorted(src.fields))
+    dims = tuple(sorted(src.dims.items())) if src.dims else None
+    return tuple(src.fields[k] for k in names), (names, dims)
+
+
+def _unflatten_field_source(aux, children) -> FieldInputSource:
+    names, dims = aux
+    return FieldInputSource(fields=dict(zip(names, children)),
+                            dims=dict(dims) if dims else None)
+
+
+def _flatten_ts_source(src: TimeSeriesInputSource):
+    names = tuple(sorted(src.series))
+    dims = tuple(sorted(src.dims.items())) if src.dims else None
+    return (src.times,) + tuple(src.series[k] for k in names), (names, dims)
+
+
+def _unflatten_ts_source(aux, children) -> TimeSeriesInputSource:
+    names, dims = aux
+    return TimeSeriesInputSource(times=children[0],
+                                 series=dict(zip(names, children[1:])),
+                                 dims=dict(dims) if dims else None)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(FieldInputSource, _flatten_field_source,
+                          _unflatten_field_source)
+_jtu.register_pytree_node(TimeSeriesInputSource, _flatten_ts_source,
+                          _unflatten_ts_source)
+
+
 def collect_input_variables(sources) -> Tuple[Variable, ...]:
     """Collect input variable declarations from all sources
     (reference `model_integrator.jl:154-155`)."""

@@ -14,6 +14,7 @@ from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from .stepping import ForwardEuler, update_state
 from ..state import State, build_state
@@ -37,7 +38,11 @@ class Simulation:
         self.model = model
         self.timestepper = timestepper
         self.state = state
-        self.input_sources = tuple(input_sources)
+        # device-resident source leaves: sources are passed as jit arguments
+        # every step/rollout call, so host numpy leaves would re-transfer the
+        # full forcing each call. (Sources are registered pytrees; see
+        # io/input_sources.py.)
+        self.input_sources = jax.tree.map(jnp.asarray, tuple(input_sources))
         self.bcs = bcs or {}
         self.initializers = initializers or {}
         self.ctx = model.make_context(bcs=self.bcs)
@@ -51,21 +56,23 @@ class Simulation:
     @property
     def step_fn(self):
         if self._step_fn is None:
-            model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
-                                       self.input_sources)
+            model, ts, ctx = self.model, self.timestepper, self.ctx
 
+            # sources enter as a pytree ARGUMENT (see io/input_sources.py):
+            # closure-captured forcing arrays would be baked into the HLO as
+            # literal constants (170 MB+ at N145 coupled scale).
             @jax.jit
-            def step(state, dt):
+            def step(state, dt, sources):
                 return ts.step(model, state, ctx, sources, dt)
 
-            self._step_fn = step
+            self._step_fn = lambda state, dt: step(state, dt,
+                                                   self.input_sources)
         return self._step_fn
 
     def _rollout_fn(self, n_inner: int):
         key = (n_inner, int(self.scan_unroll))
         if key not in self._rollout_fns:
-            model, ts, ctx, sources = (self.model, self.timestepper, self.ctx,
-                                       self.input_sources)
+            model, ts, ctx = self.model, self.timestepper, self.ctx
 
             # NOTE: no buffer donation — aux updates may alias input buffers
             # (e.g. rainfall_ground = rainfall with NoCanopyInterception), and
@@ -74,8 +81,11 @@ class Simulation:
 
             unroll = int(self.scan_unroll)
 
-            @partial(jax.jit, static_argnums=(2,))
-            def rollout(state, dt, n):
+            # sources are a pytree ARGUMENT (loop-invariant scan inputs), not
+            # a closure capture — captured forcing arrays would be embedded
+            # in the HLO as literal constants (see io/input_sources.py).
+            @partial(jax.jit, static_argnames=("n",))
+            def rollout(state, dt, sources, n):
                 if hasattr(ts, "pre_closure_step"):
                     # closure-rotated cycle: closure ∘ (pre_closure_step)^n
                     # == step^n, but the scan carry shrinks to prognostics
@@ -90,7 +100,9 @@ class Simulation:
                     lambda s, d: ts.step(model, s, ctx, sources, d),
                     state, dt, n, unroll=unroll)
 
-            self._rollout_fns[key] = partial(rollout, n=n_inner)
+            fn = partial(rollout, n=n_inner)
+            self._rollout_fns[key] = (
+                lambda state, dt, _fn=fn: _fn(state, dt, self.input_sources))
         return self._rollout_fns[key]
 
     # -- public API (mirrors `model_integrator.jl`) -----------------------
