@@ -25,6 +25,22 @@ from ..io.input_sources import collect_input_variables
 __all__ = ["Simulation", "initialize"]
 
 
+def _split_sources(sources):
+    """Partition sources into jit-argument (registered pytrees) vs opaque
+    closure-captured (duck-typed user objects that are not registered
+    pytrees). Returns (dyn: {index: src}, static: {index: src})."""
+    dyn, static = {}, {}
+    for i, src in enumerate(sources):
+        (static if jax.tree_util.all_leaves([src]) else dyn)[i] = src
+    return dyn, static
+
+
+def _merge_sources(dyn, static):
+    """Reassemble the original source tuple from the two partitions."""
+    n = len(dyn) + len(static)
+    return tuple(dyn[i] if i in dyn else static[i] for i in range(n))
+
+
 class Simulation:
     """Holds the model, state, forcing, timestepper, and compiled step.
 
@@ -40,9 +56,14 @@ class Simulation:
         self.state = state
         # device-resident source leaves: sources are passed as jit arguments
         # every step/rollout call, so host numpy leaves would re-transfer the
-        # full forcing each call. (Sources are registered pytrees; see
-        # io/input_sources.py.)
-        self.input_sources = jax.tree.map(jnp.asarray, tuple(input_sources))
+        # full forcing each call. (Built-in sources are registered pytrees —
+        # see io/input_sources.py; duck-typed user sources that are NOT
+        # registered pytrees pass through untouched and remain opaque
+        # closure captures inside their own methods.)
+        self.input_sources = tuple(
+            src if jax.tree_util.all_leaves([src])
+            else jax.tree.map(jnp.asarray, src)
+            for src in input_sources)
         self.bcs = bcs or {}
         self.initializers = initializers or {}
         self.ctx = model.make_context(bcs=self.bcs)
@@ -58,15 +79,29 @@ class Simulation:
         if self._step_fn is None:
             model, ts, ctx = self.model, self.timestepper, self.ctx
 
-            # sources enter as a pytree ARGUMENT (see io/input_sources.py):
-            # closure-captured forcing arrays would be baked into the HLO as
-            # literal constants (170 MB+ at N145 coupled scale).
-            @jax.jit
-            def step(state, dt, sources):
-                return ts.step(model, state, ctx, sources, dt)
+            # registered-pytree sources enter as a pytree ARGUMENT (see
+            # io/input_sources.py): closure-captured forcing arrays would be
+            # baked into the HLO as literal constants (170 MB+ at N145
+            # coupled scale). Duck-typed user sources that are NOT registered
+            # pytrees cannot be jit arguments; they fall back to closure
+            # capture (retracing if the user swaps them out).
+            dyn0, static = _split_sources(self.input_sources)
 
-            self._step_fn = lambda state, dt: step(state, dt,
-                                                   self.input_sources)
+            @jax.jit
+            def step(state, dt, dyn_sources):
+                return ts.step(model, state, ctx,
+                               _merge_sources(dyn_sources, static), dt)
+
+            def wrapper(state, dt):
+                dyn, _ = _split_sources(self.input_sources)
+                return step(state, dt, dyn)
+
+            # expose the inner jit for cache introspection (retrace tests,
+            # `jax.jit` cache stability): the wrapper is a plain function,
+            # so forward the jit's cache accessors.
+            wrapper._jit = step
+            wrapper._cache_size = step._cache_size
+            self._step_fn = wrapper
         return self._step_fn
 
     def _rollout_fn(self, n_inner: int):
@@ -81,11 +116,16 @@ class Simulation:
 
             unroll = int(self.scan_unroll)
 
-            # sources are a pytree ARGUMENT (loop-invariant scan inputs), not
-            # a closure capture — captured forcing arrays would be embedded
-            # in the HLO as literal constants (see io/input_sources.py).
+            # registered sources are a pytree ARGUMENT (loop-invariant scan
+            # inputs), not a closure capture — captured forcing arrays would
+            # be embedded in the HLO as literal constants (see
+            # io/input_sources.py). Opaque user sources fall back to closure
+            # capture (same split as step_fn).
+            static = _split_sources(self.input_sources)[1]
+
             @partial(jax.jit, static_argnames=("n",))
-            def rollout(state, dt, sources, n):
+            def rollout(state, dt, dyn_sources, n):
+                sources = _merge_sources(dyn_sources, static)
                 if hasattr(ts, "pre_closure_step"):
                     # closure-rotated cycle: closure ∘ (pre_closure_step)^n
                     # == step^n, but the scan carry shrinks to prognostics
@@ -101,8 +141,13 @@ class Simulation:
                     state, dt, n, unroll=unroll)
 
             fn = partial(rollout, n=n_inner)
-            self._rollout_fns[key] = (
-                lambda state, dt, _fn=fn: _fn(state, dt, self.input_sources))
+
+            def wrapper(state, dt, _fn=fn):
+                return _fn(state, dt, _split_sources(self.input_sources)[0])
+
+            wrapper._jit = rollout
+            wrapper._cache_size = rollout._cache_size
+            self._rollout_fns[key] = wrapper
         return self._rollout_fns[key]
 
     # -- public API (mirrors `model_integrator.jl`) -----------------------

@@ -118,3 +118,40 @@ def test_debug_callback_toggle():
         tt.debug_callback(sim)  # no error on clean state
     finally:
         tt.enable_debug(False)
+
+
+def test_duck_typed_input_source():
+    """A user source that is NOT a registered pytree must still work: it is
+    closure-captured by the compiled step instead of passed as a jit
+    argument (reference allows any `InputSource` subtype,
+    `input_sources.jl:11-73`)."""
+    import terrarium_tpu as tt
+
+    class RampAirTemp:  # deliberately NOT a registered pytree
+        def variables(self):
+            from terrarium_tpu.variables import input as input_var, XY
+            return (input_var("air_temperature", XY()),)
+
+        def initialize_inputs(self, state):
+            return self.update_inputs(state)
+
+        def update_inputs(self, state):
+            import jax.numpy as jnp
+            val = 2.0 + 1e-5 * state.clock.time
+            t = jnp.full_like(state.inputs["air_temperature"], 0.0) + val
+            return state.update({"air_temperature": t})
+
+    grid = tt.ColumnGrid.of(cells=2, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(5.0),
+        input_sources=(RampAirTemp(),))
+    sim.timestep(dt=300.0)
+    t0 = float(np.asarray(sim.state.inputs["air_temperature"])[0])
+    sim.run(steps=10, dt=300.0)
+    t1 = float(np.asarray(sim.state.inputs["air_temperature"])[0])
+    assert t1 > t0  # the ramp actually advanced inside the jitted rollout
+    assert np.all(np.isfinite(np.asarray(sim.state.temperature)))
