@@ -16,9 +16,11 @@ def main():
 
     sim, cells = build_sim()
     roll_inner = sim._rollout_fn(60)
-    # grab the underlying jit fn: partial(rollout, n=60) of a jitted rollout
-    jitted = roll_inner.func
-    lowered = jitted.lower(sim.state, 60.0, 60)
+    # the underlying jit is exposed on the wrapper (integrator.step_fn)
+    from terrarium_tpu.timesteppers.integrator import _split_sources
+    jitted = roll_inner._jit
+    dyn, _ = _split_sources(sim.input_sources)
+    lowered = jitted.lower(sim.state, 60.0, dyn, n=60)
     txt = lowered.compile().as_text()
     out = "/root/repo/experiments/rollout_tpu.hlo"
     with open(out, "w") as f:

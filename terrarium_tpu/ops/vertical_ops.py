@@ -27,7 +27,47 @@ __all__ = [
     "apply_flux_bcs",
     "cumsum_z",
     "cummin_z",
+    "pad_z",
+    "shift_z",
 ]
+
+#: How z-axis shifts (row concatenations) lower. ``"pad"`` expresses each
+#: shift as ONE `lax.pad` with negative padding on one side (trim) and
+#: positive on the other (fill) — on TPU the pad folds into the consumer
+#: fusion, where a `concatenate` materializes a copy kernel (the same
+#: measurement that drove CUMMIN_IMPL below). ``"concat"`` keeps the
+#: concatenate lowering for A/B comparison.
+SHIFT_IMPL = "pad"
+
+
+def pad_z(x, lo: int, hi: int, fill=0.0):
+    """Grow/trim ``x`` along the z axis: ``lo``/``hi`` rows added at the
+    bottom/top (negative = trimmed), vacated rows take ``fill``. Lowered as a
+    single `lax.pad` (fuses into consumers on TPU) unless ``SHIFT_IMPL ==
+    'concat'``."""
+    import jax
+
+    if SHIFT_IMPL != "concat":
+        zero = (0, 0, 0)
+        return jax.lax.pad(x, jnp.asarray(fill, x.dtype),
+                           ((lo, hi, 0),) + (zero,) * (x.ndim - 1))
+    if lo < 0:
+        x = x[-lo:]
+    if hi < 0:
+        x = x[:hi]
+    parts = []
+    if lo > 0:
+        parts.append(jnp.full((lo,) + x.shape[1:], fill, x.dtype))
+    parts.append(x)
+    if hi > 0:
+        parts.append(jnp.full((hi,) + x.shape[1:], fill, x.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+
+def shift_z(x, d: int, fill=0.0):
+    """Shift ``x`` by ``d`` rows toward higher k (same length): row ``k``
+    of the result is ``x[k - d]``; vacated rows take ``fill``."""
+    return pad_z(x, d, -d, fill)
 
 
 def _row_mask(shape, row, dtype=None):
@@ -169,43 +209,44 @@ def ghosts(c, bc_bottom, bc_top, state, dz_faces):
     return ghost_bot, ghost_top
 
 
-def _pad_with_ghosts(c, ghost_bottom, ghost_top):
-    gb = jnp.broadcast_to(ghost_bottom, (1,) + c.shape[1:])
-    gt = jnp.broadcast_to(ghost_top, (1,) + c.shape[1:])
-    return jnp.concatenate([gb, c, gt], axis=0)  # (Nz + 2, cells)
+def _face_operands(c, ghost_bottom, ghost_top):
+    """Build the two ``(Nz + 1, cells)`` face operands ``upper[f] = ce[f]``
+    and ``lower[f] = ce[f-1]`` of the padded center column
+    ``ce = [ghost_bottom, c, ghost_top]`` — as pads + one-row masked selects
+    instead of a concatenate (each lowers into the consumer fusion; no copy
+    kernel)."""
+    if ghost_bottom is None:
+        ghost_bottom = c[:1]
+    if ghost_top is None:
+        ghost_top = c[-1:]
+    n = c.shape[0]
+    shape = (n + 1,) + c.shape[1:]
+    upper = jnp.where(_row_mask(shape, -1), jnp.broadcast_to(ghost_top, shape),
+                      pad_z(c, 0, 1))
+    lower = jnp.where(_row_mask(shape, 0), jnp.broadcast_to(ghost_bottom, shape),
+                      pad_z(c, 1, 0))
+    return upper, lower
 
 
 def grad_faces(c, dz_faces, ghost_bottom=None, ghost_top=None):
     """``∂c/∂z`` at all faces: ``(c[f] - c[f-1]) / dz_faces[f]``
     (Oceananigans `∂zᵃᵃᶠ`). Ghosts default to zero-gradient."""
-    if ghost_bottom is None:
-        ghost_bottom = c[:1]
-    if ghost_top is None:
-        ghost_top = c[-1:]
-    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
-    return (ce[1:] - ce[:-1]) / dz_faces
+    upper, lower = _face_operands(c, ghost_bottom, ghost_top)
+    return (upper - lower) / dz_faces
 
 
 def interp_faces_mid(c, ghost_bottom=None, ghost_top=None):
     """Arithmetic-mean interpolation of a center field to all faces
     (Oceananigans `ℑzᵃᵃᶠ`). Ghosts default to zero-gradient."""
-    if ghost_bottom is None:
-        ghost_bottom = c[:1]
-    if ghost_top is None:
-        ghost_top = c[-1:]
-    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
-    return 0.5 * (ce[1:] + ce[:-1])
+    upper, lower = _face_operands(c, ghost_bottom, ghost_top)
+    return 0.5 * (upper + lower)
 
 
 def interp_faces_min(c, ghost_bottom=None, ghost_top=None):
     """Neighbor-minimum interpolation to faces (reference `min_zᵃᵃᶠ`,
     `src/utils/kernel_utils.jl:24-25`). Ghosts default to zero-gradient."""
-    if ghost_bottom is None:
-        ghost_bottom = c[:1]
-    if ghost_top is None:
-        ghost_top = c[-1:]
-    ce = _pad_with_ghosts(c, ghost_bottom, ghost_top)
-    return jnp.minimum(ce[1:], ce[:-1])
+    upper, lower = _face_operands(c, ghost_bottom, ghost_top)
+    return jnp.minimum(upper, lower)
 
 
 def div_faces(q, dz):

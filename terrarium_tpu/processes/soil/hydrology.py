@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .hydraulics import SoilHydraulicsSURFEX
 from ...ops.bcs import get_bc
-from ...ops.vertical_ops import div_faces, ghosts, grad_faces
+from ...ops.vertical_ops import (_row_mask, div_faces, ghosts, grad_faces,
+                                 pad_z, shift_z)
 from ...variables import XY, XYZ, auxiliary, input, prognostic
 
 __all__ = ["NoFlow", "RichardsEq", "SoilSaturationPressureClosure", "SoilHydrology"]
@@ -99,12 +100,19 @@ class SoilHydrology:
         top-center K (reference writes face Nz and Nz+1 from center Nz)."""
         Kc = self.center_hydraulic_conductivity(state, grid, soil)
         Kc = jnp.broadcast_to(Kc, (grid.nz, grid.cells))
-        K_face = jnp.concatenate([
-            Kc[:1],                                  # face 0 (bottom boundary)
-            jnp.minimum(Kc[:-2], Kc[1:-1]),          # faces 1..Nz-2
-            Kc[-1:],                                 # face Nz-1 (quirk: top-center K)
-            Kc[-1:],                                 # face Nz (top boundary)
-        ], axis=0)
+        # pad-shift form of [Kc[0], min-pairs(1..Nz-2), Kc[-1], Kc[-1]]:
+        # min(+inf-padded upper/lower neighbors) gives faces 0..Nz with
+        # min-pairs everywhere; the reference quirk (face Nz-1 takes the
+        # top-center K, not a min) is restored with a one-row masked select.
+        # All pads/selects fold into one fusion (no concatenate copy kernel).
+        inf = jnp.inf
+        upper = pad_z(Kc, 0, 1, inf)   # face f -> Kc[f]   (f < Nz)
+        lower = pad_z(Kc, 1, 0, inf)   # face f -> Kc[f-1] (f >= 1)
+        K_face = jnp.minimum(upper, lower)
+        top_quirk = jnp.broadcast_to(Kc[-1:], K_face.shape)
+        K_face = jnp.where(_row_mask(K_face.shape, grid.nz - 1) |
+                           _row_mask(K_face.shape, grid.nz),
+                           top_quirk, K_face)
         return state.update(hydraulic_conductivity=K_face.astype(grid.nf))
 
     # -- water table ------------------------------------------------------
@@ -142,14 +150,13 @@ class SoilHydrology:
         sat = state.saturation_water_ice
         dz = grid.dz  # (Nz, 1)
         dz_col = jnp.broadcast_to(dz, sat.shape)
-        zrow = jnp.zeros((1,) + sat.shape[1:], dtype=sat.dtype)
 
         # upward sweep (bottom -> top): carry c[k] = excess water [m] spilling
         # past layer k; layer k receives c[k-1] and clamps at saturation 1.
         a = (sat - 1.0) * dz_col
         S = cumsum_z(a)
         c = S - jnp.minimum(cummin_z(S), 0.0)
-        c_in = jnp.concatenate([zrow, c[:-1]], axis=0)
+        c_in = shift_z(c, 1)  # zero inflow at the bottom
         sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
 
         # surface excess pool gets what spilled past the top layer
@@ -162,7 +169,7 @@ class SoilHydrology:
         b = -sat_up * dz_col
         S2 = cumsum_z(b, reverse=True)
         c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
-        c2_in = jnp.concatenate([c2[1:], zrow], axis=0)
+        c2_in = shift_z(c2, -1)  # zero demand from above the surface
         # every adjusted layer is max(s - c_in/dz, 0), incl. the bottom clip
         # of a residual deficit (mass-balance violation warning case)
         sat_new = jnp.maximum(sat_up - c2_in / dz_col, 0.0)
@@ -199,11 +206,12 @@ class SoilHydrology:
         g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces)
         grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
         K = state.hydraulic_conductivity  # face array (Nz+1, cells)
-        K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)  # clamped shift
-        K_above = jnp.concatenate([K[1:], K[-1:]], axis=0)
-        # min of conductivities in the direction of flow
-        K_eff = jnp.where(grad < 0.0, jnp.minimum(K_below, K),
-                          jnp.minimum(K, K_above))
+        # min of conductivities in the direction of flow; +inf fill makes the
+        # pad-shift exact at the clamped ends (min(inf, K_end) = K_end, same
+        # as the reference's edge-clamped neighbor shift)
+        K_eff = jnp.where(grad < 0.0,
+                          jnp.minimum(shift_z(K, 1, jnp.inf), K),
+                          jnp.minimum(K, shift_z(K, -1, jnp.inf)))
         q = -K_eff * grad
         dtheta_dt = -div_faces(q, grid.dz)
 
@@ -242,10 +250,9 @@ class SoilHydrology:
         g_bot, g_top = ghosts(psi, bc_bot, bc_top, state, grid.dz_faces)
         grad = grad_faces(psi, grid.dz_faces, g_bot, g_top)
         K = state.hydraulic_conductivity
-        K_below = jnp.concatenate([K[:1], K[:-1]], axis=0)
-        K_above = jnp.concatenate([K[1:], K[-1:]], axis=0)
-        K_eff = jnp.where(grad < 0.0, jnp.minimum(K_below, K),
-                          jnp.minimum(K, K_above))
+        K_eff = jnp.where(grad < 0.0,
+                          jnp.minimum(shift_z(K, 1, jnp.inf), K),
+                          jnp.minimum(K, shift_z(K, -1, jnp.inf)))
 
         por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
         sat = state.saturation_water_ice
