@@ -94,6 +94,10 @@ def main():
     steps_per_s = steps_per_block / med
     value = cells * steps_per_s  # grid-points * steps / s / chip
 
+    # vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+    # baseline is this harness's first recorded value (BENCH_r01.json).
+    baseline = 426902796.8
+
     # SYPD at dt=60s for context (reference harness metric)
     sypd = steps_per_s * dt / 86400.0 / 365.0 * 365.0  # = simulated days/day... keep simple:
     sypd = (steps_per_s * dt) / (365.0 * 86400.0) * 86400.0  # sim-years per wall-day
@@ -103,7 +107,7 @@ def main():
         "metric": "gridpoints_steps_per_s_per_chip_n145_heat_richards",
         "value": round(value, 1),
         "unit": "cells*steps/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(value / baseline, 3),
         "detail": {
             "cells": cells, "nz": nz, "dt_s": dt,
             "steps_per_block": steps_per_block,

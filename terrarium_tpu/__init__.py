@@ -102,10 +102,10 @@ from .models.land_model import LandModel
 from .models.vegetation_model import SurfaceEnergyModel, VegetationModel
 from .timesteppers import ForwardEuler, Heun, ImplicitEuler, Simulation, initialize
 from .io.input_sources import FieldInputSource, TimeSeriesInputSource
-from .io.netcdf import load_land_mask, read_netcdf
+from .io.netcdf import load_land_mask, read_netcdf, write_netcdf
 from .io.raster import RasterInputSource, raster_input_source
 from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
-                        IterationInterval, ProgressLogger, TimeInterval,
+                        NetCDFRasterWriter, IterationInterval, ProgressLogger, TimeInterval,
                         load_field_time_series)
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.forcing_pipeline import ChunkedForcingPipeline

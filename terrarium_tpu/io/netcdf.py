@@ -14,7 +14,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["NCVariable", "read_netcdf", "load_land_mask"]
+__all__ = ["NCVariable", "read_netcdf", "write_netcdf", "load_land_mask"]
 
 
 @dataclasses.dataclass
@@ -101,6 +101,53 @@ def _read_netcdf3(path, variables):
             out[name] = NCVariable(name=name, data=_decode(var[:], attrs),
                                    dims=list(var.dimensions), attrs=attrs)
     return out
+
+
+def write_netcdf(path: str, variables: Dict[str, NCVariable],
+                 coords: Optional[Dict[str, np.ndarray]] = None,
+                 global_attrs: Optional[Dict] = None) -> str:
+    """Write a NetCDF4-compatible HDF5 file (h5py with HDF5 dimension
+    scales, the on-disk convention NetCDF4 uses). The output round-trips
+    through :func:`read_netcdf` and is readable by standard NetCDF tooling.
+
+    The reference writes simulation output through Oceananigans writers
+    (NetCDF/JLD2, `docs/src/running/time_stepping.md:97-138`); this is the
+    writing half of the Rasters/NCDatasets equivalence.
+
+    ``coords`` maps dimension name -> 1-D coordinate array; every dim named
+    in a variable's ``dims`` must either appear in ``coords`` or be sized
+    from the data (written as a bare index dimension).
+    """
+    import h5py
+
+    coords = dict(coords or {})
+    with h5py.File(path, "w") as f:
+        # collect dimension sizes from coords + variable shapes
+        dim_sizes: Dict[str, int] = {k: len(np.asarray(v))
+                                     for k, v in coords.items()}
+        for var in variables.values():
+            for d, size in zip(var.dims, np.asarray(var.data).shape):
+                dim_sizes.setdefault(d, size)
+
+        scales = {}
+        for dname, size in dim_sizes.items():
+            cdata = np.asarray(coords.get(dname, np.arange(size)))
+            ds = f.create_dataset(dname, data=cdata)
+            ds.make_scale(dname)
+            scales[dname] = ds
+
+        for name, var in variables.items():
+            if name in scales:
+                continue
+            data = np.asarray(var.data)
+            ds = f.create_dataset(name, data=data)
+            for i, d in enumerate(var.dims):
+                ds.dims[i].attach_scale(scales[d])
+            for k, v in (var.attrs or {}).items():
+                ds.attrs[k] = v
+        for k, v in (global_attrs or {}).items():
+            f.attrs[k] = v
+    return path
 
 
 def load_land_mask(path: str, var: str = "lsm", threshold: float = 0.5):

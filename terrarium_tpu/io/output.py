@@ -21,6 +21,7 @@ __all__ = [
     "IterationInterval",
     "AveragedTimeInterval",
     "FieldTimeSeriesWriter",
+    "NetCDFRasterWriter",
     "ProgressLogger",
     "load_field_time_series",
 ]
@@ -141,6 +142,70 @@ def load_field_time_series(path: str) -> Dict[str, np.ndarray]:
         for k in h.keys():
             out[k] = np.asarray(h[k])
     return out
+
+
+class NetCDFRasterWriter:
+    """Scheduled writer producing a CF-style NetCDF4 raster file.
+
+    For :class:`ColumnRingGrid` simulations: packed cell fields are
+    scattered back to the full lat-lon raster (the reference's
+    `column_ring_grid.jl:125-149` scatter + Oceananigans NetCDF writer
+    combination). XY fields are written as ``(time, lat, lon)``, XYZ fields
+    as ``(time, z, lat, lon)``; sea points hold ``fill``.
+
+    Use as a callback exactly like :class:`FieldTimeSeriesWriter`.
+    """
+
+    def __init__(self, path: str, fields: Sequence[str], schedule=None,
+                 fill=np.nan, units: Optional[Dict[str, str]] = None):
+        self.path = str(path)
+        self.fields = list(fields)
+        self.schedule = schedule or IterationInterval(1)
+        self.fill = fill
+        self.units = units or {}
+        self.times: List[float] = []
+        self.buffers: Dict[str, List[np.ndarray]] = {f: [] for f in fields}
+
+    def __call__(self, sim):
+        grid = sim.model.grid
+        if not hasattr(grid, "scatter"):
+            raise TypeError("NetCDFRasterWriter requires a ColumnRingGrid "
+                            "(use FieldTimeSeriesWriter for ColumnGrid runs)")
+        if not self.schedule.actuates(sim):
+            return
+        self.times.append(sim.current_time)
+        for f in self.fields:
+            arr = grid.scatter(np.asarray(sim.state[f]), fill=self.fill)
+            self.buffers[f].append(arr)
+        self.flush(sim)
+
+    def flush(self, sim=None):
+        from .netcdf import NCVariable, write_netcdf
+
+        if sim is None:
+            return
+        grid = sim.model.grid
+        coords = {
+            "time": np.asarray(self.times),
+            "lat": np.asarray(grid.ring.lats),
+            "lon": np.asarray(grid.ring.lons),
+        }
+        if hasattr(grid, "vertical"):
+            coords["z"] = np.asarray(grid.vertical.z_centers).reshape(-1)
+        variables = {}
+        for f in self.fields:
+            if not self.buffers[f]:
+                continue
+            data = np.stack(self.buffers[f])
+            dims = (["time", "z", "lat", "lon"] if data.ndim == 4
+                    else ["time", "lat", "lon"])
+            attrs = {"_FillValue": np.float64(np.nan)} if np.isnan(self.fill) else {}
+            if f in self.units:
+                attrs["units"] = self.units[f]
+            variables[f] = NCVariable(name=f, data=data, dims=dims, attrs=attrs)
+        write_netcdf(self.path, variables, coords=coords,
+                     global_attrs={"source": "terrarium_tpu",
+                                   "Conventions": "CF-1.8"})
 
 
 @dataclasses.dataclass

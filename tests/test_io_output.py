@@ -155,3 +155,42 @@ def test_duck_typed_input_source():
     t1 = float(np.asarray(sim.state.inputs["air_temperature"])[0])
     assert t1 > t0  # the ramp actually advanced inside the jitted rollout
     assert np.all(np.isfinite(np.asarray(sim.state.temperature)))
+
+
+def test_netcdf_raster_writer(tmp_path):
+    """NetCDF4 raster output: scatter-back to lat-lon, CF dims, round-trip
+    through the h5py NetCDF reader (write half of the reference's
+    Oceananigans NetCDF-writer delegation, `time_stepping.md:97-138`)."""
+    from terrarium_tpu.io.netcdf import read_netcdf
+    from terrarium_tpu.io.output import NetCDFRasterWriter
+
+    ring = tt.full_gaussian_grid(8)
+    mask = np.zeros(ring.shape, dtype=bool)
+    mask[3:8, 4:20] = True
+    grid = tt.ColumnRingGrid.create(ring, mask,
+                                    spacing=tt.ExponentialSpacing(N=6),
+                                    nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 4.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(8.0))
+    path = str(tmp_path / "out.nc")
+    writer = NetCDFRasterWriter(path, ["ground_temperature", "temperature"],
+                                schedule=IterationInterval(5),
+                                units={"temperature": "degC"})
+    sim.run(steps=10, dt=300.0, callbacks=[writer], callback_interval=5)
+
+    data = read_netcdf(path)
+    gt = data["ground_temperature"]
+    T = data["temperature"]
+    assert gt.dims == ["time", "lat", "lon"]
+    assert T.dims == ["time", "z", "lat", "lon"]
+    assert T.attrs.get("units") in (b"degC", "degC")
+    assert gt.data.shape == (2, ring.nlat, ring.nlon)
+    assert T.data.shape == (2, 6, ring.nlat, ring.nlon)
+    np.testing.assert_allclose(data["lat"].data, ring.lats)
+    np.testing.assert_allclose(data["time"].data, [1500.0, 3000.0])
+    # land points finite, sea points fill (NaN)
+    assert np.isfinite(gt.data[-1][mask]).all()
+    assert np.isnan(gt.data[-1][~mask]).all()
