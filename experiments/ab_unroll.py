@@ -1,5 +1,8 @@
 """In-process A/B: rollout scan unroll factor on the N145 bench config.
 
+Blocks are 1440 steps so the ~35 ms tunnel dispatch+sync cost is <2% of the
+block (60-step blocks are sync-dominated and mask real differences).
+
 Per CLAUDE.md, bench variance across processes is ±20-30%, so all variants
 run back-to-back in ONE process on the real chip. Prints one JSON line per
 variant.
@@ -53,14 +56,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     sim, cells = build_sim()
-    steps = 60
+    steps = 1440
     dt = 60.0
 
     def sync(state):
         return float(np.asarray(jax.numpy.sum(state.prognostic["internal_energy"])))
 
     state0 = sim.state
-    for unroll in (1, 4, 8, 15):
+    for unroll in (1, 2, 4):
         sim.scan_unroll = unroll
         roll = sim._rollout_fn(steps)
         t0 = time.perf_counter()
@@ -76,7 +79,7 @@ def main():
         med = float(np.median(times))
         print(json.dumps({
             "unroll": unroll,
-            "median_s_per_60steps": round(med, 4),
+            "median_s_per_block": round(med, 4),
             "cells_steps_per_s": round(cells * steps / med / 1e6, 2),
             "compile_s": round(compile_s, 1),
         }), flush=True)

@@ -146,3 +146,39 @@ def test_stable_coupled_run_with_mo_and_consistent_seb():
     assert np.all(np.isfinite(np.asarray(st.temperature)))
     Ts = float(st.skin_temperature[0])
     assert -20.0 < Ts < 60.0, Ts  # physically plausible equilibrium
+
+
+def test_implicit_skin_temperature_fixed_point_converges():
+    """Repeated SEB sweeps converge the implicit skin temperature to the
+    half-cell flux balance Ts = Tg - G*dz1/(2 kappa_s) (the reference test
+    drives 5 iterations to convergence, `skin_temperature.jl:37-46`)."""
+    grid = tt.ColumnGrid.of(cells=2, spacing=tt.ExponentialSpacing(N=5),
+                            nf=np.float64)
+    model = tt.SurfaceEnergyModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"ground_temperature": 10.0, "skin_temperature": 0.0},
+        input_sources=(tt.FieldInputSource(fields={
+            "surface_shortwave_down": 400.0, "surface_longwave_down": 320.0,
+            "air_temperature": 8.0}),))
+
+    seb = sim.model.surface_energy_balance
+    atmos = sim.model.atmosphere
+    constants = sim.model.constants
+    state = sim.state
+    deltas = []
+    for _ in range(5):
+        Ts_prev = np.asarray(state.skin_temperature).copy()
+        state = seb.compute_surface_energy_fluxes(state, grid, constants, atmos)
+        deltas.append(float(np.max(np.abs(np.asarray(state.skin_temperature)
+                                          - Ts_prev))))
+    # geometric contraction (ratio ~0.06/sweep) and convergence after 5
+    assert deltas[-1] < 1e-4, deltas
+    assert deltas[-1] < deltas[0]
+    # converged state satisfies the half-cell balance exactly
+    dz1 = float(np.asarray(grid.dz)[-1, 0])
+    kappa = seb.skin_temperature.kappa_s
+    Ts = np.asarray(state.skin_temperature)
+    Tg = np.asarray(state.ground_temperature)
+    G = np.asarray(state.ground_heat_flux)
+    np.testing.assert_allclose(Ts, Tg - G * dz1 / (2.0 * kappa), atol=1e-3)
