@@ -110,3 +110,4 @@ from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.forcing_pipeline import ChunkedForcingPipeline
 from .diagnostics.debug import debug_callback, enable_debug, nancheck
+from .diagnostics.profiling import compile_seconds, profile_rollout, step_timings

@@ -194,3 +194,16 @@ def test_netcdf_raster_writer(tmp_path):
     # land points finite, sea points fill (NaN)
     assert np.isfinite(gt.data[-1][mask]).all()
     assert np.isnan(gt.data[-1][~mask]).all()
+
+
+def test_profiling_helpers(tmp_path):
+    """step_timings and profile_rollout run and report sane numbers
+    (the tracing/profiling aux subsystem, SURVEY §5)."""
+    sim = _sim()
+    stats = tt.step_timings(sim, dt=300.0, block=8, reps=2)
+    assert stats["steps_per_s"] > 0 and np.isfinite(stats["us_per_step"])
+    assert sim.iteration == 8 * 3  # warm block + 2 timed blocks advanced state
+    out = tt.profile_rollout(_sim(), steps=4, logdir=str(tmp_path / "trace"))
+    assert out["steps_per_s"] > 0
+    import os
+    assert any(os.scandir(tmp_path / "trace"))  # trace files written
