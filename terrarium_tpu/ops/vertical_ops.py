@@ -37,17 +37,24 @@ __all__ = [
 #: fusion, where a `concatenate` materializes a copy kernel (the same
 #: measurement that drove CUMMIN_IMPL below). ``"concat"`` keeps the
 #: concatenate lowering for A/B comparison.
+#:
+#: The pad lowering is only used under a trace (`jax.core.Tracer` input):
+#: the EAGER `lax.pad` thunk heap-corrupts on this jaxlib CPU build
+#: (reproduced standalone: repeated eager pads of a (20, 4) f64 array abort
+#: with glibc "free(): invalid next size"; the jitted form is clean over
+#: 2000 iterations). Eager calls — initialization paths — take the concat
+#: form, which is bit-identical.
 SHIFT_IMPL = "pad"
 
 
 def pad_z(x, lo: int, hi: int, fill=0.0):
     """Grow/trim ``x`` along the z axis: ``lo``/``hi`` rows added at the
     bottom/top (negative = trimmed), vacated rows take ``fill``. Lowered as a
-    single `lax.pad` (fuses into consumers on TPU) unless ``SHIFT_IMPL ==
-    'concat'``."""
+    single `lax.pad` (fuses into consumers on TPU) when traced; see
+    ``SHIFT_IMPL`` for the eager/CPU fallback."""
     import jax
 
-    if SHIFT_IMPL != "concat":
+    if SHIFT_IMPL != "concat" and isinstance(x, jax.core.Tracer):
         zero = (0, 0, 0)
         return jax.lax.pad(x, jnp.asarray(fill, x.dtype),
                            ((lo, hi, 0),) + (zero,) * (x.ndim - 1))
@@ -146,7 +153,6 @@ def cummin_z(x, reverse: bool = False):
     import jax
 
     n = x.shape[0]
-    zero = (0, 0, 0)
     d = 1
     while d < n:
         if CUMMIN_IMPL == "pad":
@@ -157,9 +163,9 @@ def cummin_z(x, reverse: bool = False):
                 sd = s * d
                 if sd >= n:
                     break
-                cfg = (-sd, sd, 0) if reverse else (sd, -sd, 0)
-                shifted = jax.lax.pad(x, jnp.asarray(jnp.inf, x.dtype),
-                                      (cfg,) + (zero,) * (x.ndim - 1))
+                # shift_z routes through pad_z (lax.pad when traced, concat
+                # eagerly — see SHIFT_IMPL note on the eager-pad CPU bug)
+                shifted = shift_z(x, -sd if reverse else sd, jnp.inf)
                 acc = jnp.minimum(acc, shifted)
             x = acc
             d *= CUMMIN_RADIX
