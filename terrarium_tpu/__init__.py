@@ -82,6 +82,7 @@ from .processes.surface_energy import (ConstantAlbedo, DiagnosedRadiativeFluxes,
                                        PrescribedSkinTemperature,
                                        PrescribedTurbulentFluxes,
                                        SurfaceEnergyBalance)
+from .processes.snow import SnowCoverAlbedo, Snowpack
 from .processes.surface_hydrology import (BareGroundEvaporation,
                                           ConstantEvaporationResistanceFactor,
                                           DirectSurfaceRunoff,

@@ -64,6 +64,8 @@ class LandModel:
     atmosphere: PrescribedAtmosphere = PrescribedAtmosphere()
     constants: PhysicalConstants = PhysicalConstants()
     initializer: Any = DefaultInitializer()
+    #: optional snowpack (extension beyond the reference, processes/snow.py)
+    snow: Optional[Any] = None
 
     def __post_init__(self):
         if self.soil is None:
@@ -71,11 +73,25 @@ class LandModel:
         if self.surface_hydrology is None:
             object.__setattr__(self, "surface_hydrology",
                                default_surface_hydrology(self.vegetation))
+        if self.snow is not None:
+            # conditional default (the reference's idiom,
+            # `land_model.jl:111-125`): a snowpack with the default constant
+            # albedo gets the snow-cover albedo feedback automatically.
+            from ..processes.snow import SnowCoverAlbedo
+            from ..processes.surface_energy.seb import ConstantAlbedo
+            seb = self.surface_energy_balance
+            if type(seb.albedo) is ConstantAlbedo:
+                object.__setattr__(
+                    self, "surface_energy_balance",
+                    dataclasses.replace(
+                        seb, albedo=SnowCoverAlbedo(base=seb.albedo)))
 
     def variables(self) -> tuple:
         out = variables_of(self.atmosphere) + variables_of(self.soil)
         if self.vegetation is not None:
             out += variables_of(self.vegetation)
+        if self.snow is not None:
+            out += variables_of(self.snow)
         out += variables_of(self.surface_hydrology)
         out += variables_of(self.surface_energy_balance)
         return out
@@ -113,6 +129,9 @@ class LandModel:
         SEB (+ a second fused flux sweep), reference `land_model.jl:79-88`."""
         c, grid = self.constants, self.grid
         state = self.atmosphere.compute_auxiliary(state, grid, ctx)
+        if self.snow is not None:
+            # cover fraction + melt before the surface hydrology and SEB
+            state = self.snow.compute_auxiliary(state, grid, self.atmosphere, ctx)
         state = self.soil.compute_auxiliary(state, grid, ctx)
         if self.vegetation is not None:
             state = self.vegetation.compute_auxiliary(state, grid, c,
@@ -135,6 +154,9 @@ class LandModel:
         if self.vegetation is not None:
             state = self.vegetation.compute_tendencies(state, grid,
                                                        self.constants, ctx)
+        if self.snow is not None:
+            state = self.snow.compute_tendencies(state, grid, self.atmosphere,
+                                                 ctx)
         return state
 
     def closure(self, state, ctx):
@@ -147,4 +169,7 @@ class LandModel:
         return self.soil.implicit_terms(state, self.grid, ctx)
 
     def timestep(self, state, ctx, dt):
+        if self.snow is not None:
+            state = self.snow.timestep(state, self.grid, self.atmosphere,
+                                       ctx, dt)
         return state

@@ -230,10 +230,14 @@ class SoilHydrology:
         por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
         state = state.add_tendencies(saturation_water_ice=dtheta_dt / por)
 
-        # surface excess pool drainage (reference `soil_hydrology.jl:260-283`)
+        # surface excess pool drainage (reference `soil_hydrology.jl:260-283`).
+        # Parity default: the reference ADDS min(S/tau, S) — the pool grows by
+        # its own drainage. DirectSurfaceRunoff.consistent() applies the
+        # removal sign instead (see its docstring).
         S = state.surface_excess_water
         dSdt = runoff.surface_drainage(S) if runoff is not None else jnp.zeros_like(S)
-        state = state.add_tendencies(surface_excess_water=jnp.minimum(dSdt, S))
+        sign = -1.0 if getattr(runoff, "consistent_drainage", False) else 1.0
+        state = state.add_tendencies(surface_excess_water=sign * jnp.minimum(dSdt, S))
         return state
 
     def implicit_diffusion_terms(self, state, grid, soil, constants, ctx):

@@ -267,9 +267,22 @@ class PALADYNCanopyEvapotranspiration:
 @dataclasses.dataclass(frozen=True)
 class DirectSurfaceRunoff:
     """Runoff = P + drainage - infiltration
-    (reference `direct_surface_runoff.jl:14-117`)."""
+    (reference `direct_surface_runoff.jl:14-117`).
+
+    ``consistent_drainage``: the reference's surface-excess tendency is
+    ``+= min(S/tau, S)`` (`soil_hydrology.jl:274-283`) — the pool *grows* by
+    its own drainage while infiltration separately adds the drained water to
+    the soil (double-counting; its own docstring calls the drainage a
+    "removal"). Parity mode reproduces that exactly; the consistent mode
+    applies the drainage with the removal sign so pool + soil + runoff
+    closes. See README "deviations"."""
 
     tau_r: float = 3600.0  # surface water removal timescale [s]
+    consistent_drainage: bool = False
+
+    @staticmethod
+    def consistent(**kw) -> "DirectSurfaceRunoff":
+        return DirectSurfaceRunoff(consistent_drainage=True, **kw)
 
     def variables(self):
         return (
@@ -283,6 +296,10 @@ class DirectSurfaceRunoff:
 
     def compute_auxiliary(self, state, grid, canopy, soil, ctx):
         rain = state.rainfall_ground
+        if "snow_melt" in state:
+            # snowpack melt water joins ground rain in the infiltration/
+            # runoff partition (extension: processes/snow.py)
+            rain = rain + state.snow_melt
         S = state.surface_excess_water if "surface_excess_water" in state else \
             jnp.zeros_like(rain)
         k_unsat = state.hydraulic_conductivity[-1]  # top face K

@@ -244,3 +244,41 @@ def test_vwc_forcing_sink():
     expected = 1.0 + forcing_value * dt / porosity.mineral_porosity
     np.testing.assert_allclose(sim.state.saturation_water_ice[-1, 0], expected,
                                rtol=1e-10)
+
+
+def test_surface_excess_drainage_sign_modes():
+    """Parity: the reference's excess-pool tendency is += min(S/tau, S) —
+    the pool grows by its own drainage (`soil_hydrology.jl:274-283`).
+    DirectSurfaceRunoff.consistent() applies the removal sign so the pool
+    decays into infiltration + runoff."""
+    import terrarium_tpu as tt
+
+    def run(runoff):
+        grid = tt.ColumnGrid.of(cells=1, spacing=tt.ExponentialSpacing(N=8),
+                                nf=np.float64)
+        soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+            vertical_flow=tt.RichardsEq()))
+        model = tt.LandModel(
+            grid=grid, soil=soil,
+            surface_hydrology=tt.SurfaceHydrology(
+                canopy_interception=tt.NoCanopyInterception(),
+                evapotranspiration=tt.BareGroundEvaporation(),
+                surface_runoff=runoff))
+        sim = tt.initialize(
+            model, tt.ForwardEuler(),
+            # fully saturated: ET would NaN the Lee-Pielke beta on pure sand,
+            # so keep it simple — saturation 1 seeds the excess pool via the
+            # profile adjustment when any inflow arrives
+            initializers={"temperature": 5.0, "saturation_water_ice": 1.0},
+            input_sources=(tt.FieldInputSource(fields={"rainfall": 1e-6}),))
+        # seed the pool directly
+        sim.state = sim.state.update(surface_excess_water=np.array([0.01]))
+        S0 = float(sim.state.surface_excess_water[0])
+        sim.run(steps=12, dt=300.0)
+        return S0, float(sim.state.surface_excess_water[0])
+
+    S0, S_parity = run(tt.DirectSurfaceRunoff())
+    _, S_consistent = run(tt.DirectSurfaceRunoff.consistent())
+    assert S_parity > S0          # reference quirk: pool self-amplifies
+    assert S_consistent < S0      # corrected: pool drains
+    assert S_consistent > 0.0
