@@ -98,9 +98,9 @@ def main():
     # baseline is this harness's first recorded value (BENCH_r01.json).
     baseline = 426902796.8
 
-    # SYPD at dt=60s for context (reference harness metric)
-    sypd = steps_per_s * dt / 86400.0 / 365.0 * 365.0  # = simulated days/day... keep simple:
-    sypd = (steps_per_s * dt) / (365.0 * 86400.0) * 86400.0  # sim-years per wall-day
+    # SYPD at dt=60s for context (reference harness metric):
+    # simulated years per wall-clock day
+    sypd = (steps_per_s * dt) / (365.0 * 86400.0) * 86400.0
     assert np.all(np.isfinite(np.asarray(sim.state.temperature)))
 
     print(json.dumps({

@@ -13,29 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def build_sim(cells=56951, nz=30):
-    import terrarium_tpu as tt
-
-    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
-                            nf=np.float32)
-    hydrology = tt.SoilHydrology(
-        vertical_flow=tt.RichardsEq(),
-        hydraulic_properties=tt.ConstantSoilHydraulics(
-            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
-            unsat_hydraulic_cond=tt.UnsatKVanGenuchten()))
-    soil = tt.SoilEnergyWaterCarbon(hydrology=hydrology)
-    model = tt.SoilModel(grid=grid, soil=soil)
-    import jax.numpy as jnp
-    sim = tt.initialize(
-        model, tt.ForwardEuler(dt=60.0),
-        initializers={
-            "temperature": lambda x, z: 1.0 + 0.0 * z,
-            "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z),
-        },
-        boundary_conditions=tt.PrescribedSurfaceTemperature(
-            lambda t: 5.0 * jnp.sin(2 * jnp.pi * t / 86400.0)))
-    return sim
+from experiments.ab_unroll import build_sim  # single bench-sim definition
 
 
 def main():
@@ -51,7 +29,7 @@ def main():
     variants = {}
     for impl in ("pad", "concat"):
         vertical_ops.SHIFT_IMPL = impl
-        sim = build_sim()
+        sim, _cells = build_sim()
         roll = sim._rollout_fn(steps)
         t0 = time.perf_counter()
         state = roll(sim.state, dt)

@@ -61,6 +61,7 @@ def profile_rollout(sim, steps: int, logdir: str, dt: Optional[float] = None
         _sync(state)
         wall = time.perf_counter() - t0
     sim.state = state
+    sim.compute_auxiliary()  # finalize like Simulation.run (fresh aux)
     return {"steps": float(steps), "wall_s": wall,
             "steps_per_s": steps / wall, "logdir": logdir}
 
@@ -81,6 +82,7 @@ def step_timings(sim, dt: Optional[float] = None, block: int = 1440,
         _sync(state)
         times.append(time.perf_counter() - t0)
     sim.state = state
+    sim.compute_auxiliary()  # finalize like Simulation.run (fresh aux)
     med = float(np.median(times))
     return {"block_steps": float(block), "median_block_s": med,
             "us_per_step": 1e6 * med / block,

@@ -121,24 +121,51 @@ def write_netcdf(path: str, variables: Dict[str, NCVariable],
     import h5py
 
     coords = dict(coords or {})
+    # a 1-D variable named after its own (sole) dimension IS that dim's
+    # coordinate (the NetCDF "coordinate variable" convention) — promote it
+    # so its data/attrs are written as the scale instead of being dropped
+    coord_attrs: Dict[str, Dict] = {}
+    plain = {}
+    for name, var in variables.items():
+        data = np.asarray(var.data)
+        if data.ndim == 1 and list(var.dims) == [name]:
+            if name in coords and not np.array_equal(np.asarray(coords[name]),
+                                                     data):
+                raise ValueError(
+                    f"coordinate variable {name!r} conflicts with coords[{name!r}]")
+            coords[name] = data
+            coord_attrs[name] = dict(var.attrs or {})
+        else:
+            plain[name] = var
+
     with h5py.File(path, "w") as f:
-        # collect dimension sizes from coords + variable shapes
+        # collect dimension sizes from coords + variable shapes; a size
+        # mismatch between a coordinate and a variable's dimension is an
+        # error (silently attaching a wrong-length scale misaligns levels)
         dim_sizes: Dict[str, int] = {k: len(np.asarray(v))
                                      for k, v in coords.items()}
-        for var in variables.values():
-            for d, size in zip(var.dims, np.asarray(var.data).shape):
-                dim_sizes.setdefault(d, size)
+        for name, var in plain.items():
+            shape = np.asarray(var.data).shape
+            if len(var.dims) != len(shape):
+                raise ValueError(
+                    f"variable {name!r}: {len(var.dims)} dims for "
+                    f"{len(shape)}-d data")
+            for d, size in zip(var.dims, shape):
+                if dim_sizes.setdefault(d, size) != size:
+                    raise ValueError(
+                        f"variable {name!r}: dimension {d!r} has size {size} "
+                        f"but coords/other variables give {dim_sizes[d]}")
 
         scales = {}
         for dname, size in dim_sizes.items():
             cdata = np.asarray(coords.get(dname, np.arange(size)))
             ds = f.create_dataset(dname, data=cdata)
             ds.make_scale(dname)
+            for k, v in coord_attrs.get(dname, {}).items():
+                ds.attrs[k] = v
             scales[dname] = ds
 
-        for name, var in variables.items():
-            if name in scales:
-                continue
+        for name, var in plain.items():
             data = np.asarray(var.data)
             ds = f.create_dataset(name, data=data)
             for i, d in enumerate(var.dims):

@@ -192,14 +192,22 @@ class NetCDFRasterWriter:
         }
         if hasattr(grid, "vertical"):
             coords["z"] = np.asarray(grid.vertical.z_centers).reshape(-1)
+            coords["z_face"] = np.asarray(grid.vertical.z_faces).reshape(-1)
         variables = {}
         for f in self.fields:
             if not self.buffers[f]:
                 continue
             data = np.stack(self.buffers[f])
-            dims = (["time", "z", "lat", "lon"] if data.ndim == 4
-                    else ["time", "lat", "lon"])
-            attrs = {"_FillValue": np.float64(np.nan)} if np.isnan(self.fill) else {}
+            if data.ndim == 4:
+                # center fields on "z", face fields (Nz+1) on "z_face"
+                zdim = "z" if data.shape[1] == len(coords.get("z", ())) \
+                    else "z_face"
+                dims = ["time", zdim, "lat", "lon"]
+            else:
+                dims = ["time", "lat", "lon"]
+            # always record the fill sentinel, dtype-matched to the data, so
+            # CF tooling masks sea points whatever the fill value is
+            attrs = {"_FillValue": np.asarray(self.fill, dtype=data.dtype)}
             if f in self.units:
                 attrs["units"] = self.units[f]
             variables[f] = NCVariable(name=f, data=data, dims=dims, attrs=attrs)

@@ -38,23 +38,26 @@ __all__ = [
 #: measurement that drove CUMMIN_IMPL below). ``"concat"`` keeps the
 #: concatenate lowering for A/B comparison.
 #:
-#: The pad lowering is only used under a trace (`jax.core.Tracer` input):
+#: The pad lowering is only used when the default backend is NOT the CPU:
 #: the EAGER `lax.pad` thunk heap-corrupts on this jaxlib CPU build
 #: (reproduced standalone: repeated eager pads of a (20, 4) f64 array abort
 #: with glibc "free(): invalid next size"; the jitted form is clean over
-#: 2000 iterations). Eager calls — initialization paths — take the concat
-#: form, which is bit-identical.
+#: 2000 iterations). A tracer check alone is not sufficient — JVP/batch
+#: tracers from unjitted `jax.grad`/`jax.vmap` still dispatch their primal
+#: pads through the eager thunk — so on CPU every call takes the concat
+#: form, which is bit-identical (CPU is the dev/test backend; the measured
+#: pad win is a TPU fusion effect).
 SHIFT_IMPL = "pad"
 
 
 def pad_z(x, lo: int, hi: int, fill=0.0):
     """Grow/trim ``x`` along the z axis: ``lo``/``hi`` rows added at the
     bottom/top (negative = trimmed), vacated rows take ``fill``. Lowered as a
-    single `lax.pad` (fuses into consumers on TPU) when traced; see
-    ``SHIFT_IMPL`` for the eager/CPU fallback."""
+    single `lax.pad` (fuses into consumers on TPU); see ``SHIFT_IMPL`` for
+    the CPU fallback."""
     import jax
 
-    if SHIFT_IMPL != "concat" and isinstance(x, jax.core.Tracer):
+    if SHIFT_IMPL != "concat" and jax.default_backend() != "cpu":
         zero = (0, 0, 0)
         return jax.lax.pad(x, jnp.asarray(fill, x.dtype),
                            ((lo, hi, 0),) + (zero,) * (x.ndim - 1))

@@ -84,8 +84,12 @@ class Simulation:
             # baked into the HLO as literal constants (170 MB+ at N145
             # coupled scale). Duck-typed user sources that are NOT registered
             # pytrees cannot be jit arguments; they fall back to closure
-            # capture (retracing if the user swaps them out).
-            dyn0, static = _split_sources(self.input_sources)
+            # capture. The wrapper detects a swapped-out opaque source (by
+            # identity) and rebuilds the compiled step so the new closure is
+            # traced in — without this, the first compile's sources would be
+            # silently reused forever.
+            static = _split_sources(self.input_sources)[1]
+            static_ids = {i: id(s) for i, s in static.items()}
 
             @jax.jit
             def step(state, dt, dyn_sources):
@@ -93,7 +97,10 @@ class Simulation:
                                _merge_sources(dyn_sources, static), dt)
 
             def wrapper(state, dt):
-                dyn, _ = _split_sources(self.input_sources)
+                dyn, stat_now = _split_sources(self.input_sources)
+                if {i: id(s) for i, s in stat_now.items()} != static_ids:
+                    self._step_fn = None  # opaque sources changed: rebuild
+                    return self.step_fn(state, dt)
                 return step(state, dt, dyn)
 
             # expose the inner jit for cache introspection (retrace tests,
@@ -120,8 +127,9 @@ class Simulation:
             # inputs), not a closure capture — captured forcing arrays would
             # be embedded in the HLO as literal constants (see
             # io/input_sources.py). Opaque user sources fall back to closure
-            # capture (same split as step_fn).
+            # capture with the same swap detection as step_fn.
             static = _split_sources(self.input_sources)[1]
+            static_ids = {i: id(s) for i, s in static.items()}
 
             @partial(jax.jit, static_argnames=("n",))
             def rollout(state, dt, dyn_sources, n):
@@ -142,8 +150,12 @@ class Simulation:
 
             fn = partial(rollout, n=n_inner)
 
-            def wrapper(state, dt, _fn=fn):
-                return _fn(state, dt, _split_sources(self.input_sources)[0])
+            def wrapper(state, dt, _fn=fn, _key=key):
+                dyn, stat_now = _split_sources(self.input_sources)
+                if {i: id(s) for i, s in stat_now.items()} != static_ids:
+                    del self._rollout_fns[_key]  # opaque sources changed
+                    return self._rollout_fn(_key[0])(state, dt)
+                return _fn(state, dt, dyn)
 
             wrapper._jit = rollout
             wrapper._cache_size = rollout._cache_size

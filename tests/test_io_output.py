@@ -207,3 +207,63 @@ def test_profiling_helpers(tmp_path):
     assert out["steps_per_s"] > 0
     import os
     assert any(os.scandir(tmp_path / "trace"))  # trace files written
+
+
+def test_opaque_source_swap_rebuilds_step():
+    """Swapping an opaque (closure-captured) source must retrace the step —
+    not silently keep using the first compile's forcing."""
+    def make_source(val):
+        class Const:
+            def variables(self):
+                from terrarium_tpu.variables import input as input_var, XY
+                return (input_var("air_temperature", XY()),)
+
+            def initialize_inputs(self, state):
+                return self.update_inputs(state)
+
+            def update_inputs(self, state):
+                import jax.numpy as jnp
+                return state.update({"air_temperature": jnp.full_like(
+                    state.inputs["air_temperature"], val)})
+        return Const()
+
+    grid = tt.ColumnGrid.of(cells=2, spacing=tt.ExponentialSpacing(N=6),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        input_sources=(make_source(3.0),))
+    sim.timestep(300.0)
+    assert float(np.asarray(sim.state.inputs["air_temperature"])[0]) == 3.0
+    sim.input_sources = (make_source(42.0),)
+    sim.timestep(300.0)
+    assert float(np.asarray(sim.state.inputs["air_temperature"])[0]) == 42.0
+    sim.run(steps=3, dt=300.0)  # rollout path rebuilds too
+    assert float(np.asarray(sim.state.inputs["air_temperature"])[0]) == 42.0
+
+
+def test_write_netcdf_coordinate_variable_and_conflicts(tmp_path):
+    """A 1-D variable named after its own dim becomes the coordinate (data +
+    attrs preserved); dim-size conflicts raise instead of misaligning."""
+    from terrarium_tpu.io.netcdf import NCVariable, read_netcdf, write_netcdf
+
+    path = str(tmp_path / "c.nc")
+    times = np.array([0.0, 60.0, 120.0])
+    write_netcdf(path, {
+        "time": NCVariable("time", times, ["time"],
+                           {"units": "seconds since 2000-01-01"}),
+        "x": NCVariable("x", np.arange(6, dtype=float).reshape(3, 2),
+                        ["time", "cell"], {}),
+    })
+    data = read_netcdf(path)
+    np.testing.assert_allclose(data["time"].data, times)
+    assert data["time"].attrs.get("units") in (
+        b"seconds since 2000-01-01", "seconds since 2000-01-01")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dimension"):
+        write_netcdf(str(tmp_path / "bad.nc"), {
+            "a": NCVariable("a", np.zeros((3, 2)), ["time", "cell"], {}),
+            "b": NCVariable("b", np.zeros((4, 2)), ["time", "cell"], {}),
+        })
