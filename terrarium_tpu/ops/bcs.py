@@ -91,7 +91,12 @@ def get_bc(bcs: Optional[FieldBCs], var: str, side: str):
 
 def resolve_bc_value(value, state):
     """Evaluate a BC value spec against the current state/clock (see module
-    docstring for supported forms). Returns a scalar or ``(cells,)`` array."""
+    docstring for supported forms). Returns a scalar or ``(cells,)`` array.
+
+    Callables may take ``(t)`` or ``(t, state)`` — the two-argument form
+    enables state-dependent boundary values (a superset of the reference's
+    `getbc` Variable placeholders, `boundary_conditions.jl:25-28`, which can
+    only read an input field verbatim)."""
     if isinstance(value, str):
         return state.inputs[value] if value in state.inputs else state[value]
     if isinstance(value, InputRef):
@@ -99,5 +104,12 @@ def resolve_bc_value(value, state):
                 else state[value.name])
         return value.scale * base
     if callable(value):
-        return value(state.clock.time)
+        import inspect
+
+        try:
+            nparams = len(inspect.signature(value).parameters)
+        except (TypeError, ValueError):  # builtins/ufuncs without signature
+            nparams = 1
+        return value(state.clock.time, state) if nparams >= 2 \
+            else value(state.clock.time)
     return jnp.asarray(value)

@@ -59,15 +59,18 @@ def tridiag_solve(a, b, c, d):
 
 
 def _shift_down(x, s, pad):
-    """x_{k-s} with constant padding (concat-only: Mosaic-friendly)."""
-    rows = jnp.full((s,) + x.shape[1:], pad, x.dtype)
-    return jnp.concatenate([rows, x[:-s]], axis=0)
+    """x_{k-s} with constant padding (single `lax.pad` under trace on
+    non-CPU backends, concat otherwise — see `vertical_ops.pad_z`)."""
+    from .vertical_ops import shift_z
+
+    return shift_z(x, s, pad)
 
 
 def _shift_up(x, s, pad):
     """x_{k+s} with constant padding."""
-    rows = jnp.full((s,) + x.shape[1:], pad, x.dtype)
-    return jnp.concatenate([x[s:], rows], axis=0)
+    from .vertical_ops import shift_z
+
+    return shift_z(x, -s, pad)
 
 
 def tridiag_solve_pcr(a, b, c, d):

@@ -19,6 +19,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
     ("extending_snow_ddm.py", ["--days", "1"]),
     ("extending_exp_growth.py", []),
     ("land_snow_winter.py", ["--days-per-season", "2"]),
+    ("soil_heat_global_era5.py", ["--days", "1", "--nz", "8"]),
 ])
 def test_example_runs(script, argv, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # scripts may write output files
