@@ -205,3 +205,38 @@ def test_parameter_sensitivity():
     assert np.isfinite(g)
     assert g > 0  # higher conductivity -> faster warming from the warm surface
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_grad_through_snowpack_parameter():
+    """Parameter sensitivity through the snow extension: d(final SWE)/d(k_dd)
+    matches finite differences through several melt steps."""
+    from terrarium_tpu.timesteppers.autodiff import make_step_fn
+
+    def final_swe(k_dd):
+        grid = tt.ColumnGrid.of(cells=1, spacing=tt.ExponentialSpacing(N=8),
+                                nf=np.float64)
+        soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+            vertical_flow=tt.RichardsEq()))
+        model = tt.LandModel(grid=grid, soil=soil,
+                             snow=tt.Snowpack(degree_day_factor=k_dd))
+        sim = tt.initialize(
+            model, tt.ForwardEuler(),
+            initializers={"temperature": 2.0, "saturation_water_ice": 0.6,
+                          "snow_water_equivalent": 0.05},
+            input_sources=(tt.FieldInputSource(fields={
+                "air_temperature": 6.0, "snowfall": 1e-8}),))
+        step = make_step_fn(sim.model, sim.timestepper, sim.ctx,
+                            sim.input_sources)
+        state = sim.state
+        for _ in range(5):
+            state = step(state, 300.0)
+        return jnp.sum(state.snow_water_equivalent)
+
+    k0 = 5.0e-3 / 86400.0
+    g = float(jax.grad(final_swe)(jnp.float64(k0)))
+    eps = k0 * 1e-3
+    fd = float((final_swe(k0 + eps) - final_swe(k0 - eps)) / (2 * eps))
+    # melting at 6 degC for 5 steps: dSWE/dk = -T_excess * t (exact while
+    # the pack stays positive)
+    assert np.isclose(g, -6.0 * 5 * 300.0, rtol=1e-6), g
+    assert np.isclose(g, fd, rtol=1e-6), (g, fd)
