@@ -1,0 +1,49 @@
+"""Pallas fused-step equivalence (interpret mode).
+
+The fused whole-step kernel (`ops/fused_step.py`) re-traces the SAME pure
+step the XLA path uses, so the two must agree to float tolerance. Mosaic
+compilation of the kernel hangs the experimental backend's compiler
+(CLAUDE.md), so CI validates the kernel in Pallas interpret mode on CPU;
+the XLA path remains the production default.
+"""
+import numpy as np
+
+import terrarium_tpu as tt
+from terrarium_tpu.ops.fused_step import make_fused_step
+
+
+def _sim(cells=96, nz=12):
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                   hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+    return tt.initialize(
+        model, tt.ForwardEuler(dt=60.0),
+        initializers={"temperature": lambda x, z: 1.0 + 0.0 * z,
+                      "saturation_water_ice":
+                          lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(5.0))
+
+
+def test_fused_step_matches_xla_step():
+    sim = _sim()
+    fused = make_fused_step(sim.model, sim.timestepper, sim.ctx,
+                            sim.input_sources, dt=60.0, block_cells=64,
+                            interpret=True)
+    state_f = sim.state
+    state_x = sim.state
+    for _ in range(3):
+        state_f = fused(state_f)
+        state_x = sim.step_fn(state_x, 60.0)
+    for group in ("prognostic", "auxiliary"):
+        for name, a in getattr(state_x, group).items():
+            b = getattr(state_f, group)[name]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-6,
+                err_msg=f"{group}/{name}")
+    assert float(state_f.clock.time) == float(state_x.clock.time)
