@@ -20,8 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["cell_mesh", "shard_state", "state_shardings", "replicate",
-           "initialize_distributed"]
+__all__ = ["cell_mesh", "shard_state", "shard_sources", "state_shardings",
+           "replicate", "initialize_distributed"]
 
 CELL_AXIS = "cells"
 
@@ -77,6 +77,26 @@ def shard_state(state, mesh: Optional[Mesh] = None, axis_name: str = CELL_AXIS):
     """
     mesh = mesh if mesh is not None else cell_mesh()
     return jax.device_put(state, state_shardings(state, mesh, axis_name))
+
+
+def shard_sources(sources, cells: int, mesh: Optional[Mesh] = None,
+                  axis_name: str = CELL_AXIS):
+    """Place input-source pytrees on the mesh: leaves whose trailing axis is
+    the packed cell dimension (``shape[-1] == cells`` — static fields and
+    ``(T, cells)`` forcing series) shard on it; everything else (time
+    coordinates, scalars) replicates. The per-step time interpolation is
+    elementwise over cells, so sharded forcing keeps the step
+    collective-free (SURVEY §2.11 'forcing ingestion sharded')."""
+    mesh = mesh if mesh is not None else cell_mesh()
+
+    def spec(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim >= 1 and leaf.shape[-1] == cells:
+            return NamedSharding(mesh, _spec_for(leaf, axis_name))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, spec(leaf)), sources)
 
 
 def replicate(tree, mesh: Optional[Mesh] = None):

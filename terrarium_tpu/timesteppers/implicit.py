@@ -62,44 +62,48 @@ class ImplicitDiffusionTerms:
 _SOLVERS = {"thomas": tridiag_solve, "pcr": tridiag_solve_pcr}
 
 
-def _solve_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt,
-                    solver="thomas"):
-    """Assemble (I/dt - J) and solve for du given the current tendency."""
+def _assemble_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
+    """Assemble the (a, b, c, rhs) rows of (I/dt - J) du = tend(u^n)."""
+    from ..ops.vertical_ops import _row_mask, shift_z
+
     Kf, D, s = terms.K_faces, terms.D, terms.scale
     dz = grid.dz  # (Nz, 1)
     dzf = grid.dz_faces  # (Nz+1, 1)
-    nz = grid.nz
 
     K_lo = Kf[:-1]  # face below cell k (f = k)
     K_hi = Kf[1:]  # face above cell k (f = k+1)
     dzf_lo = dzf[:-1]
     dzf_hi = dzf[1:]
 
-    # off-diagonals (interior faces only; boundary rows get 0 there)
-    a = -(s * K_lo * jnp.roll(D, 1, axis=0) / (dzf_lo * dz))
-    c = -(s * K_hi * jnp.roll(D, -1, axis=0) / (dzf_hi * dz))
-    a = a.at[0].set(0.0)
-    c = c.at[-1].set(0.0)
+    # off-diagonals (interior faces only; boundary rows get 0 there).
+    # shift_z pads with 0 at the vacated boundary row, which also zeroes the
+    # full off-diagonal product there (no separate masking of a[0]/c[-1]).
+    a = -(s * K_lo * shift_z(D, 1) / (dzf_lo * dz))
+    c = -(s * K_hi * shift_z(D, -1) / (dzf_hi * dz))
 
-    # diagonal: interior-face terms
-    diag_lo = s * K_lo * D / (dzf_lo * dz)
-    diag_hi = s * K_hi * D / (dzf_hi * dz)
-    diag_lo = diag_lo.at[0].set(0.0)
-    diag_hi = diag_hi.at[-1].set(0.0)
+    # diagonal: interior-face terms (boundary faces excluded via row masks)
+    zero = jnp.zeros((), dtype=D.dtype)
+    diag_lo = jnp.where(_row_mask(D.shape, 0), zero,
+                        s * K_lo * D / (dzf_lo * dz))
+    diag_hi = jnp.where(_row_mask(D.shape, -1), zero,
+                        s * K_hi * D / (dzf_hi * dz))
     b = 1.0 / dt + diag_lo + diag_hi
 
     # Dirichlet phi BCs: ghost = 2*value - interior => extra 2*K*D/(dzf*dz)
     bc_bot = get_bc(bcs, terms.phi_var, "bottom")
     bc_top = get_bc(bcs, terms.phi_var, "top")
     if isinstance(bc_bot, Dirichlet):
-        sb = s if jnp.ndim(s) == 0 else s[0]
-        b = b.at[0].add(2.0 * sb * Kf[0] * D[0] / (dzf[0, 0] * dz[0, 0]))
+        sb = s if jnp.ndim(s) == 0 else s[:1]
+        b = b + jnp.where(_row_mask(b.shape, 0),
+                          2.0 * sb * Kf[:1] * D[:1] / (dzf[0, 0] * dz[0, 0]),
+                          zero)
     if isinstance(bc_top, Dirichlet):
-        st = s if jnp.ndim(s) == 0 else s[-1]
-        b = b.at[-1].add(2.0 * st * Kf[-1] * D[-1] / (dzf[-1, 0] * dz[-1, 0]))
+        st = s if jnp.ndim(s) == 0 else s[-1:]
+        b = b + jnp.where(_row_mask(b.shape, -1),
+                          2.0 * st * Kf[-1:] * D[-1:] / (dzf[-1, 0] * dz[-1, 0]),
+                          zero)
 
-    tend = state.tendencies[terms.var]
-    return _SOLVERS[solver](a, b, c, tend)
+    return a, b, c, state.tendencies[terms.var]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,10 +117,20 @@ class ImplicitEuler:
     cyclic reduction — no sequential z dependence, ~1.5x faster on TPU for
     the N145 batch; agrees with Thomas to ~1e-10 on the diagonally-dominant
     systems this stepper assembles).
+
+    ``stack_solves``: solve all implicit systems (heat + Richards) as ONE
+    batched solve with the systems concatenated along the cell axis — the
+    per-column solves are independent, so this is mathematically exact
+    (bitwise up to XLA FMA-contraction choices that vary with array width).
+    Measured 5.6% SLOWER on the N145 chip benchmark
+    (experiments/ab_implicit_stack.py: the four concatenate copies cost more
+    than the halved solver launch count), so it defaults off; kept as a knob
+    for other size regimes.
     """
 
     dt: float = 900.0
     solver: str = "pcr"
+    stack_solves: bool = False
 
     def default_dt(self):
         return self.dt
@@ -138,9 +152,21 @@ class ImplicitEuler:
         state = dataclasses.replace(state, tendencies=tend)
 
         prog = dict(state.prognostic)
-        for t in terms:
-            du = _solve_implicit(t, state, grid, ctx.bcs, dt, self.solver)
-            prog[t.var] = prog[t.var] + du
+        systems = [(t, _assemble_implicit(t, state, grid, ctx.bcs, dt))
+                   for t in terms]
+        if self.stack_solves and len(systems) > 1 and len(
+                {sys_[1][0].shape for sys_ in systems}) == 1:
+            # one batched solve over all systems (independent columns:
+            # concatenation along cells is exact)
+            a, b, c, rhs = (jnp.concatenate([s[1][i] for s in systems], axis=1)
+                            for i in range(4))
+            du_all = _SOLVERS[self.solver](a, b, c, rhs)
+            w = systems[0][1][0].shape[1]
+            for j, (t, _) in enumerate(systems):
+                prog[t.var] = prog[t.var] + du_all[:, j * w:(j + 1) * w]
+        else:
+            for t, (a, b, c, rhs) in systems:
+                prog[t.var] = prog[t.var] + _SOLVERS[self.solver](a, b, c, rhs)
         for name in prog:
             if name not in implicit_vars:
                 prog[name] = prog[name] + state.tendencies[name] * dt

@@ -169,3 +169,37 @@ def test_implicit_land_model():
         assert np.all(np.isfinite(np.asarray(st[name]))), name
     sat = np.asarray(st.saturation_water_ice)
     assert np.all((0.0 <= sat) & (sat <= 1.0))
+
+
+def test_stacked_solve_matches_sequential():
+    """stack_solves=True (one batched PCR over heat+Richards) matches
+    per-variable solves to machine precision (independent columns; bitwise
+    differences are only XLA FMA contraction choices)."""
+    def run(stack):
+        grid = tt.ColumnGrid.of(cells=4, spacing=tt.ExponentialSpacing(N=16),
+                                nf=np.float64)
+        props = tt.ConstantSoilHydraulics(
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+        soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+            vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+        model = tt.SoilModel(grid=grid, soil=soil)
+        sim = tt.initialize(
+            model, tt.ImplicitEuler(solver="pcr", stack_solves=stack),
+            initializers={"temperature": 2.0,
+                          "saturation_water_ice":
+                              lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(8.0))
+        sim.run(steps=10, dt=900.0)
+        return sim.state
+
+    a = run(True)
+    b = run(False)
+    # mathematically identical; bit-level differences are XLA FMA/
+    # vectorization choices that vary with the array width
+    np.testing.assert_allclose(np.asarray(a.temperature),
+                               np.asarray(b.temperature),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.saturation_water_ice),
+                               np.asarray(b.saturation_water_ice),
+                               rtol=1e-12, atol=1e-14)

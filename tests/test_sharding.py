@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 import terrarium_tpu as tt
-from terrarium_tpu.parallel.sharding import cell_mesh, shard_state, state_shardings
+from terrarium_tpu.parallel.sharding import (cell_mesh, shard_sources,
+                                             shard_state, state_shardings)
 from terrarium_tpu.timesteppers.autodiff import make_rollout_fn
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -99,3 +100,50 @@ def test_global_diagnostic_collective():
 
     np.testing.assert_allclose(float(global_mean_T(state)),
                                float(np.mean(np.asarray(sim.state.temperature))))
+
+
+def test_sharded_time_varying_forcing():
+    """(T, cells) forcing series shard on the cells axis like every field
+    (SURVEY §2.11: 'forcing ingestion sharded'); time interpolation inside
+    the step is elementwise over cells, so the sharded run is bit-identical
+    and collective-free."""
+    cells = 64
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    times = np.arange(0.0, 86400.0 + 1, 21600.0)
+    per_cell = np.linspace(-5.0, 15.0, cells)[None, :]
+    series = per_cell + 8.0 * np.sin(2 * np.pi * times / 86400.0)[:, None]
+    src = tt.TimeSeriesInputSource(times=times,
+                                   series={"air_temperature": series})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature("air_temperature"),
+        input_sources=(src,))
+
+    from terrarium_tpu.timesteppers.integrator import _split_sources
+
+    def roll_fn(state, sources):
+        ts, model_, ctx = sim.timestepper, sim.model, sim.ctx
+        for _ in range(8):
+            state = ts.step(model_, state, ctx, sources, 3600.0)
+        return state
+
+    roll = jax.jit(roll_fn)
+    out_single = roll(sim.state, sim.input_sources)
+
+    mesh = cell_mesh()
+    state_sharded = shard_state(sim.state, mesh)
+    sources_sharded = shard_sources(sim.input_sources, cells, mesh)
+    # the (T, cells) series really is sharded on its trailing axis
+    leaf = sources_sharded[0].series["air_temperature"]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec(None, "cells")
+    out_sharded = roll(state_sharded, sources_sharded)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_single.prognostic["internal_energy"]),
+        np.asarray(out_sharded.prognostic["internal_energy"]))
+    # forcing actually varied in time and space
+    T = np.asarray(out_sharded.inputs["air_temperature"])
+    assert T.std() > 1.0
