@@ -136,6 +136,21 @@ class ImplicitEuler:
         return self.dt
 
     def step(self, model, state: State, ctx, input_sources, dt) -> State:
+        state = self._body(model, state, ctx, input_sources, dt)
+        state = model.closure(state, ctx)
+        return state.tick(dt)
+
+    def pre_closure_step(self, model, state: State, ctx, input_sources,
+                         dt) -> State:
+        """Closure-rotated step for lean rollouts (see
+        `ForwardEuler.pre_closure_step`): ``closure ∘ (pre_closure_step)^n``
+        equals ``step^n`` exactly, with the scan carry shrunk to
+        prognostics (+ clock/inputs)."""
+        state = model.closure(state, ctx)
+        state = self._body(model, state, ctx, input_sources, dt)
+        return state.tick(dt)
+
+    def _body(self, model, state: State, ctx, input_sources, dt) -> State:
         grid = model.grid
         state = update_state(model, state, ctx, input_sources)
 
@@ -177,6 +192,4 @@ class ImplicitEuler:
                   for k, v in state.namespaces.items()}
             state = dataclasses.replace(state, namespaces=ns)
 
-        state = model.timestep(state, ctx, dt)
-        state = model.closure(state, ctx)
-        return state.tick(dt)
+        return model.timestep(state, ctx, dt)

@@ -61,7 +61,8 @@ def test_lean_rollout_generic_pytree():
 
 
 def test_rollout_matches_sequential_soil():
-    for ts in (tt.ForwardEuler(dt=60.0), tt.Heun(dt=60.0)):
+    for ts in (tt.ForwardEuler(dt=60.0), tt.Heun(dt=60.0),
+               tt.ImplicitEuler(dt=60.0)):
         simA, simB = _soil_sim(ts), _soil_sim(ts)
         simA.run(steps=12, dt=60.0)
         for _ in range(12):
