@@ -89,17 +89,41 @@ def _row_mask(shape, row, dtype=None):
     return idx == (row % shape[0])
 
 
-def cumsum_z(x, reverse: bool = False):
-    """Cumulative sum over the (tiny) z axis as a triangular matmul.
+#: Lowering of :func:`cumsum_z`:
+#: * ``"dot"`` — one triangular ``(Nz, Nz) @ (Nz, cells)`` matmul on the MXU
+#:   (HIGHEST precision so f32 sums are exact, which costs multiple MXU
+#:   passes); a dot cannot fuse with neighboring elementwise work.
+#: * ``"pad"`` — radix-``CUMSUM_RADIX`` Hillis-Steele doubling: each stage
+#:   adds ``radix - 1`` pad-shifted copies of the same stage input (one
+#:   fusion per stage, like ``cummin_z``), and the first/last stages fuse
+#:   into producers/consumers. Different float summation ORDER than "dot"
+#:   (tree vs row-sequential), so results differ by rounding — pick per
+#:   deployment and regenerate goldens on a switch.
+CUMSUM_IMPL = "dot"
+CUMSUM_RADIX = 4
 
-    For ``Nz ~ 30`` a single ``(Nz, Nz) @ (Nz, cells)`` matmul on the MXU is
-    ~20x faster on TPU than a sequential ``lax.scan`` and several times
-    faster than the reduce-window lowering of ``jnp.cumsum`` (measured on the
-    N145 benchmark shapes). HIGHEST precision keeps the sums at true f32
-    accuracy instead of bf16 MXU passes."""
+
+def cumsum_z(x, reverse: bool = False):
+    """Cumulative sum over the (tiny) z axis (see ``CUMSUM_IMPL``).
+
+    For ``Nz ~ 30`` the matmul form is ~20x faster on TPU than a sequential
+    ``lax.scan`` and several times faster than the reduce-window lowering of
+    ``jnp.cumsum`` (measured on the N145 benchmark shapes)."""
     import jax
 
     n = x.shape[0]
+    if CUMSUM_IMPL == "pad":
+        d = 1
+        while d < n:
+            acc = x
+            for s in range(1, CUMSUM_RADIX):
+                sd = s * d
+                if sd >= n:
+                    break
+                acc = acc + shift_z(x, -sd if reverse else sd, 0.0)
+            x = acc
+            d *= CUMSUM_RADIX
+        return x
     tri = jnp.tri(n, dtype=x.dtype)  # lower-triangular ones
     if reverse:
         tri = tri.T
