@@ -20,7 +20,11 @@ applied *inside* the vertical operators:
 BC *values* may be: a Python scalar, a ``(cells,)`` array, the name of an
 input variable (string; reads ``state.inputs[name]`` each step — the
 reference's `Variable` placeholder BCs, `boundary_conditions.jl:25-28`), or a
-callable ``f(t) -> scalar | (cells,) array`` traced into the step.
+callable traced into the step — ``f(t)`` or ``f(t, state)`` (dispatched on
+the number of REQUIRED positional parameters, so defaulted/keyword-only/
+**kwargs parameters do not change which form is called); the two-argument
+form enables state-dependent boundary values, a superset of the reference's
+placeholder BCs.
 """
 from __future__ import annotations
 
@@ -107,9 +111,16 @@ def resolve_bc_value(value, state):
         import inspect
 
         try:
-            nparams = len(inspect.signature(value).parameters)
+            params = inspect.signature(value).parameters.values()
+            # only required positional parameters decide the call form —
+            # defaulted/keyword-only/**kwargs params must not flip a
+            # documented f(t) callable into the f(t, state) form
+            nreq = sum(1 for p in params
+                       if p.kind in (p.POSITIONAL_ONLY,
+                                     p.POSITIONAL_OR_KEYWORD)
+                       and p.default is p.empty)
         except (TypeError, ValueError):  # builtins/ufuncs without signature
-            nparams = 1
-        return value(state.clock.time, state) if nparams >= 2 \
+            nreq = 1
+        return value(state.clock.time, state) if nreq >= 2 \
             else value(state.clock.time)
     return jnp.asarray(value)

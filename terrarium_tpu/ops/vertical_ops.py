@@ -103,6 +103,26 @@ CUMSUM_IMPL = "dot"
 CUMSUM_RADIX = 4
 
 
+def _radix_scan_z(x, combine, identity, radix: int, reverse: bool):
+    """Radix-``r`` Hillis-Steele parallel prefix along z: each stage combines
+    ``radix - 1`` pad-shifted copies of the SAME stage input (one fusion per
+    stage; shifts route through :func:`shift_z`, see the SHIFT_IMPL note on
+    the eager-pad CPU bug). Exact for associative ``combine`` whose
+    ``identity`` fills the vacated rows."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        acc = x
+        for s in range(1, radix):
+            sd = s * d
+            if sd >= n:
+                break
+            acc = combine(acc, shift_z(x, -sd if reverse else sd, identity))
+        x = acc
+        d *= radix
+    return x
+
+
 def cumsum_z(x, reverse: bool = False):
     """Cumulative sum over the (tiny) z axis (see ``CUMSUM_IMPL``).
 
@@ -113,17 +133,7 @@ def cumsum_z(x, reverse: bool = False):
 
     n = x.shape[0]
     if CUMSUM_IMPL == "pad":
-        d = 1
-        while d < n:
-            acc = x
-            for s in range(1, CUMSUM_RADIX):
-                sd = s * d
-                if sd >= n:
-                    break
-                acc = acc + shift_z(x, -sd if reverse else sd, 0.0)
-            x = acc
-            d *= CUMSUM_RADIX
-        return x
+        return _radix_scan_z(x, jnp.add, 0.0, CUMSUM_RADIX, reverse)
     tri = jnp.tri(n, dtype=x.dtype)  # lower-triangular ones
     if reverse:
         tri = tri.T
@@ -180,24 +190,13 @@ def cummin_z(x, reverse: bool = False):
     import jax
 
     n = x.shape[0]
+    if CUMMIN_IMPL == "pad":
+        # pure radix-r parallel-prefix stages: min of (r-1) shifted copies
+        # of the SAME stage input -> one fusion per stage
+        return _radix_scan_z(x, jnp.minimum, jnp.inf, CUMMIN_RADIX, reverse)
     d = 1
     while d < n:
-        if CUMMIN_IMPL == "pad":
-            # pure radix-r parallel-prefix stage: min of (r-1) shifted copies
-            # of the SAME stage input -> one fusion, no recomputation chains
-            acc = x
-            for s in range(1, CUMMIN_RADIX):
-                sd = s * d
-                if sd >= n:
-                    break
-                # shift_z routes through pad_z (lax.pad when traced, concat
-                # eagerly — see SHIFT_IMPL note on the eager-pad CPU bug)
-                shifted = shift_z(x, -sd if reverse else sd, jnp.inf)
-                acc = jnp.minimum(acc, shifted)
-            x = acc
-            d *= CUMMIN_RADIX
-            continue
-        elif CUMMIN_IMPL == "dot" and x.ndim == 2:
+        if CUMMIN_IMPL == "dot" and x.ndim == 2:
             x = _shift_min_stage_dot(x, d, reverse)
         elif reverse:
             pad = jnp.full((d,) + x.shape[1:], jnp.inf, x.dtype)

@@ -81,22 +81,51 @@ def shard_state(state, mesh: Optional[Mesh] = None, axis_name: str = CELL_AXIS):
 
 def shard_sources(sources, cells: int, mesh: Optional[Mesh] = None,
                   axis_name: str = CELL_AXIS):
-    """Place input-source pytrees on the mesh: leaves whose trailing axis is
-    the packed cell dimension (``shape[-1] == cells`` — static fields and
-    ``(T, cells)`` forcing series) shard on it; everything else (time
-    coordinates, scalars) replicates. The per-step time interpolation is
+    """Place input-source pytrees on the mesh: field/series leaves (whose
+    trailing axis is the packed cell dimension) shard on it; time
+    coordinates and scalars replicate. The per-step time interpolation is
     elementwise over cells, so sharded forcing keeps the step
-    collective-free (SURVEY §2.11 'forcing ingestion sharded')."""
+    collective-free (SURVEY §2.11 'forcing ingestion sharded').
+
+    The built-in source types are placed by STRUCTURE (a
+    ``TimeSeriesInputSource``'s ``times`` vector always replicates — never
+    by a shape coincidence with ``cells``, which would shard the time axis
+    and put gathers in every step's interpolation). Unknown pytree sources
+    fall back to the trailing-axis-equals-``cells`` shape heuristic."""
+    from ..io.input_sources import FieldInputSource, TimeSeriesInputSource
+
     mesh = mesh if mesh is not None else cell_mesh()
+    rep = NamedSharding(mesh, P())
 
-    def spec(leaf):
-        ndim = getattr(leaf, "ndim", 0)
-        if ndim >= 1 and leaf.shape[-1] == cells:
-            return NamedSharding(mesh, _spec_for(leaf, axis_name))
-        return NamedSharding(mesh, P())
+    def cellwise(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, _spec_for(leaf, axis_name)))
 
-    return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, spec(leaf)), sources)
+    def place(src):
+        if isinstance(src, TimeSeriesInputSource):
+            return TimeSeriesInputSource(
+                times=jax.device_put(jax.numpy.asarray(src.times), rep),
+                series={k: cellwise(v) for k, v in src.series.items()},
+                dims=src.dims)
+        if isinstance(src, FieldInputSource):
+            return FieldInputSource(
+                fields={k: cellwise(v) for k, v in src.fields.items()},
+                dims=src.dims)
+
+        def spec(leaf):
+            ndim = getattr(leaf, "ndim", 0)
+            if ndim >= 1 and leaf.shape[-1] == cells:
+                return NamedSharding(mesh, _spec_for(leaf, axis_name))
+            return rep
+
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, spec(leaf)), src)
+
+    is_src = lambda x: isinstance(x, (FieldInputSource, TimeSeriesInputSource))
+    if is_src(sources):
+        return place(sources)
+    return type(sources)(place(s) for s in sources) if isinstance(
+        sources, (tuple, list)) else place(sources)
 
 
 def replicate(tree, mesh: Optional[Mesh] = None):

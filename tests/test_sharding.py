@@ -122,8 +122,6 @@ def test_sharded_time_varying_forcing():
         boundary_conditions=tt.PrescribedSurfaceTemperature("air_temperature"),
         input_sources=(src,))
 
-    from terrarium_tpu.timesteppers.integrator import _split_sources
-
     def roll_fn(state, sources):
         ts, model_, ctx = sim.timestepper, sim.model, sim.ctx
         for _ in range(8):

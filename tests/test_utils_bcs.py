@@ -204,3 +204,30 @@ def test_input_variable_bc_drives_physics():
     top = np.asarray(sim.state.temperature)[-1]
     assert np.all(top > 5.0), top  # warming toward the 10 degC forcing
     assert np.all(top < 10.0 + 1e-6), top
+
+
+def test_bc_callable_arity_dispatch():
+    """f(t) vs f(t, state) dispatch counts only REQUIRED positional params:
+    defaulted/keyword-only/**kwargs parameters must not flip the form."""
+    import types
+
+    import jax.numpy as jnp
+
+    from terrarium_tpu.ops.bcs import resolve_bc_value
+
+    state = types.SimpleNamespace(
+        clock=types.SimpleNamespace(time=jnp.asarray(100.0)),
+        inputs={})
+
+    assert float(resolve_bc_value(lambda t: t * 2.0, state)) == 200.0
+    # defaulted second parameter: still the f(t) form
+    assert float(resolve_bc_value(
+        lambda t, amplitude=5.0: amplitude + 0.0 * t, state)) == 5.0
+    # keyword-only and **kwargs: still f(t)
+    assert float(resolve_bc_value(
+        lambda t, *, tz=0.0: t + tz, state)) == 100.0
+    assert float(resolve_bc_value(
+        lambda t, **kw: t, state)) == 100.0
+    # two required positional params: the f(t, state) form
+    assert float(resolve_bc_value(
+        lambda t, st: t + st.clock.time, state)) == 200.0
