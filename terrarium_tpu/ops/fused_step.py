@@ -77,6 +77,8 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
         return jnp.pad(leaf, ((0, 0), (0, padded - leaf.shape[-1])), mode="edge")
 
     def fused(state):
+        from .vertical_ops import force_concat_shifts
+
         leaves, treedef = jax.tree_util.tree_flatten(state)
         ndims = [jnp.ndim(l) for l in leaves]
 
@@ -92,8 +94,11 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
             treedef, [block_like(l) for l in leaves])
         coord_samples = [jax.ShapeDtypeStruct(c.shape, c.dtype)
                          for c in coord_arrays]
-        converted, extra_consts = jax.closure_convert(step_fn, sample,
-                                                      *coord_samples)
+        # Mosaic cannot lower negative `lax.pad` (trimming) — trace the
+        # physics with the bit-identical concat shift lowering instead.
+        with force_concat_shifts():
+            converted, extra_consts = jax.closure_convert(step_fn, sample,
+                                                          *coord_samples)
         consts = list(coord_arrays) + list(extra_consts)
         consts2d = [_to2d(c) for c in consts]
 
@@ -120,17 +125,17 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
             for k in range(n_state):
                 val = ins[k][...]
                 if ndims[k] == 0:
-                    val = val[0, 0]
+                    val = jnp.reshape(val, ())
                 elif ndims[k] == 1:
-                    val = val[0]
+                    val = jnp.squeeze(val, axis=0)
                 block_leaves.append(val)
             const_vals = []
             for cr, c in zip(const_refs, consts):
                 v = cr[...]
                 if jnp.ndim(c) == 0:
-                    v = v[0, 0]
+                    v = jnp.reshape(v, ())
                 elif jnp.ndim(c) == 1:
-                    v = v[0]
+                    v = jnp.squeeze(v, axis=0)
                 const_vals.append(v)
             st = jax.tree_util.tree_unflatten(treedef, block_leaves)
             out_st = converted(st, *const_vals)

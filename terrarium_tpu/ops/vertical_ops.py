@@ -49,6 +49,26 @@ __all__ = [
 #: pad win is a TPU fusion effect).
 SHIFT_IMPL = "pad"
 
+#: Set (via :func:`force_concat_shifts`) while tracing a Pallas kernel body:
+#: Mosaic's `lax.pad` lowering rejects negative (trimming) padding, so inside
+#: kernels the shifts take the slice+concatenate form (bit-identical; Mosaic
+#: lowers concatenate natively).
+_FORCE_CONCAT = False
+
+
+class force_concat_shifts:
+    """Context manager selecting the concat lowering for z-shifts (used while
+    tracing Pallas kernel bodies, where negative `lax.pad` cannot lower)."""
+
+    def __enter__(self):
+        global _FORCE_CONCAT
+        self._prev = _FORCE_CONCAT
+        _FORCE_CONCAT = True
+
+    def __exit__(self, *exc):
+        global _FORCE_CONCAT
+        _FORCE_CONCAT = self._prev
+
 
 def pad_z(x, lo: int, hi: int, fill=0.0):
     """Grow/trim ``x`` along the z axis: ``lo``/``hi`` rows added at the
@@ -57,7 +77,8 @@ def pad_z(x, lo: int, hi: int, fill=0.0):
     the CPU fallback."""
     import jax
 
-    if SHIFT_IMPL != "concat" and jax.default_backend() != "cpu":
+    if (SHIFT_IMPL != "concat" and not _FORCE_CONCAT
+            and jax.default_backend() != "cpu"):
         zero = (0, 0, 0)
         return jax.lax.pad(x, jnp.asarray(fill, x.dtype),
                            ((lo, hi, 0),) + (zero,) * (x.ndim - 1))

@@ -103,7 +103,8 @@ class SoilEnergyBalance:
                        closure=self.closure_rel,
                        desc="Internal energy incl. latent and sensible components"),
             auxiliary("ground_temperature", XY(),
-                      ctor=lambda grid, arrays: arrays["temperature"][-1],
+                      ctor=lambda grid, arrays: jnp.squeeze(
+                          arrays["temperature"][-1:], axis=0),
                       units="degC", desc="Temperature of the uppermost soil cell"),
         )
 

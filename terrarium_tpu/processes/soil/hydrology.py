@@ -126,7 +126,10 @@ class SoilHydrology:
         # gather-free formulation (TPU/Mosaic friendly): z_faces increases
         # with k, so the face below the first unsaturated cell (bottom-up) is
         # the minimum masked face elevation; surface face if fully saturated.
-        masked = jnp.where(mask, zf[:-1], zf[-1])
+        # surface-face elevation as a true scalar: a (1, 1)-shaped operand
+        # would broadcast in both sublanes and lanes, which Mosaic rejects
+        top = jnp.reshape(zf[-1:], ())
+        masked = jnp.where(mask, zf[:-1], top)
         wt = jnp.min(masked, axis=0)
         return state.update(water_table=wt)
 
@@ -162,7 +165,9 @@ class SoilHydrology:
         # surface excess pool gets what spilled past the top layer
         surf = None
         if "surface_excess_water" in state:
-            surf = state.surface_excess_water + c[-1]
+            # static slice + squeeze (Mosaic-compatible; `c[-1]` would lower
+            # to dynamic_slice, which Pallas TPU cannot lower)
+            surf = state.surface_excess_water + jnp.squeeze(c[-1:], axis=0)
 
         # downward sweep (top -> bottom): carry = deficit water column [m]
         # pulled from below; same recurrence on reversed suffix sums.

@@ -302,8 +302,10 @@ class DirectSurfaceRunoff:
             rain = rain + state.snow_melt
         S = state.surface_excess_water if "surface_excess_water" in state else \
             jnp.zeros_like(rain)
-        k_unsat = state.hydraulic_conductivity[-1]  # top face K
-        sat_top = state.saturation_water_ice[-1]
+        # static slices + squeeze (Mosaic-compatible; integer row indexing
+        # lowers to dynamic_slice, which Pallas TPU cannot lower)
+        k_unsat = jnp.squeeze(state.hydraulic_conductivity[-1:], 0)  # top face K
+        sat_top = jnp.squeeze(state.saturation_water_ice[-1:], 0)
         unsaturated = sat_top < 1.0
         has_excess = S > 0.0
         drainage = jnp.where(has_excess, self.surface_drainage(S), 0.0)
