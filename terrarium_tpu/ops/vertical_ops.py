@@ -27,6 +27,7 @@ __all__ = [
     "apply_flux_bcs",
     "cumsum_z",
     "cummin_z",
+    "cumsum_cummin_z",
     "pad_z",
     "shift_z",
 ]
@@ -102,12 +103,25 @@ def shift_z(x, d: int, fill=0.0):
 
 
 def _row_mask(shape, row, dtype=None):
-    """One-hot mask for a z-row built with broadcasted_iota (static-slice-free,
-    required for Pallas/Mosaic lowering where integer indexing is illegal)."""
+    """One-hot mask for a z-row.
+
+    Outside Pallas tracing this is a trace-time ``(Nz, 1, ...)`` boolean
+    CONSTANT (broadcasts against ``shape`` in the consumer): iota-built masks
+    are loop-*variant* to XLA's invariant-code sinking, which materialized
+    them as three extra tiny kernel launches per scan iteration (measured in
+    the N145 rollout HLO, experiments/rollout_tpu.hlo). Inside Pallas kernels
+    (``force_concat_shifts`` active) the broadcasted_iota form is kept —
+    Mosaic cannot materialize array constants."""
     import jax
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    return idx == (row % shape[0])
+    if _FORCE_CONCAT:
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return idx == (row % shape[0])
+    import numpy as np
+
+    m = np.zeros((shape[0],) + (1,) * (len(shape) - 1), dtype=bool)
+    m[row] = True
+    return jnp.asarray(m)
 
 
 #: Lowering of :func:`cumsum_z`:
@@ -227,6 +241,36 @@ def cummin_z(x, reverse: bool = False):
             x = jnp.minimum(x, jnp.concatenate([pad, x[:-d]], axis=0))
         d *= 2
     return x
+
+
+def cumsum_cummin_z(a, radix: int = 4):
+    """Joint ``(S, M) = (cumsum_z(a), cummin_z(cumsum_z(a)))`` in ONE
+    radix-``radix`` doubling pass over two channels — no MXU dot at all.
+
+    The pair ``(s, m)`` = (segment sum, min prefix-sum within the segment) is
+    closed under ordered segment concatenation::
+
+        combine(L, R) = (s_L + s_R, min(m_L, s_L + m_R))
+
+    (min-plus algebra), so Hillis-Steele doubling applies. Identity segment:
+    ``s = 0``, ``m = +inf`` — the shift fill values. Exact up to float
+    summation order (tree order, like the ``"pad"`` cumsum lowering).
+    """
+    s = m = a
+    n = a.shape[0]
+    d = 1
+    while d < n:
+        s0, m0 = s, m
+        for i in range(1, radix):
+            sd = i * d
+            if sd >= n:
+                break
+            sL = shift_z(s0, sd, 0.0)
+            mL = shift_z(m0, sd, jnp.inf)
+            m = jnp.minimum(mL, sL + m)
+            s = sL + s
+        d *= radix
+    return s, m
 
 
 def ghosts(c, bc_bottom, bc_top, state, dz_faces):

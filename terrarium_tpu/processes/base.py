@@ -34,9 +34,17 @@ class Context:
     constants: PhysicalConstants = PhysicalConstants()
     bcs: Any = None  # FieldBCs dict
     extras: Any = None  # model-specific sibling handles (e.g. evapotranspiration)
+    #: generic user forcings (reference `src/forcings.jl:13-19`): a dict
+    #: ``prognostic_name -> fn(state, grid)`` of source/sink terms added to
+    #: the named tendency every step (the prognostic's own units per second).
+    #: Dotted names ("ns.var") address namespaced prognostics.
+    forcings: Any = None
 
     def with_bcs(self, bcs):
         return dataclasses.replace(self, bcs=bcs)
+
+    def with_forcings(self, forcings):
+        return dataclasses.replace(self, forcings=forcings)
 
 
 class Process:

@@ -23,6 +23,19 @@ from ...variables import XY, XYZ, auxiliary, input, prognostic
 
 __all__ = ["NoFlow", "RichardsEq", "SoilSaturationPressureClosure", "SoilHydrology"]
 
+#: Lowering of :meth:`SoilHydrology.adjust_saturation_profile` (all
+#: mathematically equivalent; float rounding differs, goldens regenerated on
+#: a switch — see docs/performance.md):
+#: * ``"fused"`` — the telescoped form below with the forward prefix pair
+#:   ``(S, cummin S)`` computed by :func:`ops.vertical_ops.cumsum_cummin_z`
+#:   in one doubling pass: the closure runs with ZERO MXU dots, everything
+#:   VPU pad-shift fusions (measured fastest on the N145 bench, +31%
+#:   end-to-end over "twopass"; experiments/ab_adjust_impl.py).
+#: * ``"telescoped"`` — MXU-dot cumsum for S, doubling cummin for M; the
+#:   DOWN sweep's reverse cumsum is eliminated algebraically (see below).
+#: * ``"twopass"`` — the round-2 form: two cumsum dots + two cummins.
+ADJUST_IMPL = "fused"
+
 
 @dataclasses.dataclass(frozen=True)
 class NoFlow:
@@ -143,12 +156,25 @@ class SoilHydrology:
 
         The reference's sequential per-column sweeps are max-plus linear
         recurrences ``c[k] = max(0, a[k] + c[k-1])`` on the water columns
-        ``a[k] = (sat[k] - 1) * dz[k]`` (up) / ``-sat[k] * dz[k]`` (down),
+        ``a[k] = (sat[k] - 1) * dz[k]`` (up) / ``-sat_up[k] * dz[k]`` (down),
         which have the closed form ``c = S - min(0, cummin(S))`` over prefix
         sums ``S`` — so both sweeps run as fully parallel cumulative ops
-        (MXU triangular-matmul cumsum + O(log Nz) doubling cummin) instead of
-        sequential z-scans (no `lax.scan` on the explicit hot path at all)."""
-        from ...ops.vertical_ops import cummin_z, cumsum_z
+        instead of sequential z-scans (no `lax.scan` on the explicit hot path
+        at all).
+
+        With ``M = min(0, cummin(S))`` the up sweep telescopes::
+
+            w_up[k] = w[k] + c[k-1] - c[k] = dz[k] + M[k] - M[k-1]
+
+        so the DOWN sweep's suffix sums also come in closed form without a
+        second cumsum::
+
+            S2[k] = -sum_{j>=k} w_up[j] = (Z[k-1] + M[k-1]) - (Z_tot + M_top)
+
+        with ``Z = cumsum(dz)`` a static grid constant (``z_faces`` offsets).
+        The whole adjustment is then ONE forward prefix pair (sum + min),
+        one reverse cummin, and elementwise arithmetic (``ADJUST_IMPL``)."""
+        from ...ops.vertical_ops import cummin_z, cumsum_cummin_z, cumsum_z
 
         sat = state.saturation_water_ice
         dz = grid.dz  # (Nz, 1)
@@ -157,24 +183,51 @@ class SoilHydrology:
         # upward sweep (bottom -> top): carry c[k] = excess water [m] spilling
         # past layer k; layer k receives c[k-1] and clamps at saturation 1.
         a = (sat - 1.0) * dz_col
-        S = cumsum_z(a)
-        c = S - jnp.minimum(cummin_z(S), 0.0)
-        c_in = shift_z(c, 1)  # zero inflow at the bottom
-        sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
+        if ADJUST_IMPL == "twopass":
+            S = cumsum_z(a)
+            c = S - jnp.minimum(cummin_z(S), 0.0)
+            c_in = shift_z(c, 1)  # zero inflow at the bottom
+            sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
 
-        # surface excess pool gets what spilled past the top layer
-        surf = None
-        if "surface_excess_water" in state:
-            # static slice + squeeze (Mosaic-compatible; `c[-1]` would lower
-            # to dynamic_slice, which Pallas TPU cannot lower)
-            surf = state.surface_excess_water + jnp.squeeze(c[-1:], axis=0)
+            surf = None
+            if "surface_excess_water" in state:
+                # static slice + squeeze (Mosaic-compatible; `c[-1]` would
+                # lower to dynamic_slice, which Pallas TPU cannot lower)
+                surf = state.surface_excess_water + jnp.squeeze(c[-1:], axis=0)
 
-        # downward sweep (top -> bottom): carry = deficit water column [m]
-        # pulled from below; same recurrence on reversed suffix sums.
-        b = -sat_up * dz_col
-        S2 = cumsum_z(b, reverse=True)
-        c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
-        c2_in = shift_z(c2, -1)  # zero demand from above the surface
+            # downward sweep (top -> bottom): carry = deficit water column
+            # [m] pulled from below; same recurrence on reversed suffix sums.
+            b = -sat_up * dz_col
+            S2 = cumsum_z(b, reverse=True)
+            c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
+            c2_in = shift_z(c2, -1)  # zero demand from above the surface
+        else:
+            if ADJUST_IMPL == "fused":
+                S, Mp = cumsum_cummin_z(a)
+                M = jnp.minimum(Mp, 0.0)
+            else:  # "telescoped": MXU cumsum + doubling cummin
+                S = cumsum_z(a)
+                M = jnp.minimum(cummin_z(S), 0.0)
+            M_in = shift_z(M, 1)  # zero carry below the bottom
+            # w_up = dz + M - M_in  =>  sat_up = 1 + (M - M_in)/dz, which is
+            # exactly min(sat + c_in/dz, 1) of the sequential sweep
+            sat_up = 1.0 + (M - M_in) / dz_col
+
+            surf = None
+            if "surface_excess_water" in state:
+                # spill past the top layer: c_top = S_top - M_top
+                surf = state.surface_excess_water + jnp.squeeze(
+                    S[-1:] - M[-1:], axis=0)
+
+            # down sweep suffix sums in closed form (no reverse cumsum):
+            # Z[k] = cumulative thickness from the bottom = z_faces offsets
+            zf = grid.z_faces  # (Nz+1, 1), increasing with k
+            bot = jnp.reshape(zf[:1], ())  # scalar bottom-face elevation
+            ZM = (zf[1:] - bot) + M  # (Nz, cells): Z + M
+            S2 = shift_z(ZM, 1) - ZM[-1:]  # row 0 = -(Z_tot + M_top), exact
+            c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
+            c2_in = shift_z(c2, -1)  # zero demand from above the surface
+
         # every adjusted layer is max(s - c_in/dz, 0), incl. the bottom clip
         # of a residual deficit (mass-balance violation warning case)
         sat_new = jnp.maximum(sat_up - c2_in / dz_col, 0.0)

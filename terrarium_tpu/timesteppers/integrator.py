@@ -50,7 +50,7 @@ class Simulation:
     """
 
     def __init__(self, model, timestepper, state: State, input_sources=(),
-                 bcs=None, initializers=None):
+                 bcs=None, initializers=None, forcings=None):
         self.model = model
         self.timestepper = timestepper
         self.state = state
@@ -66,7 +66,12 @@ class Simulation:
             for src in input_sources)
         self.bcs = bcs or {}
         self.initializers = initializers or {}
+        self.forcings = dict(forcings or {})
         self.ctx = model.make_context(bcs=self.bcs)
+        if self.forcings:
+            # generic per-variable forcing hooks (reference
+            # `src/forcings.jl:13-19`); applied in `stepping.update_state`
+            self.ctx = self.ctx.with_forcings(self.forcings)
         self._step_fn = None
         self._rollout_fns = {}
         #: `lax.scan` unroll factor for multi-step rollouts (perf knob;
@@ -241,12 +246,30 @@ def _initial_state(model, input_sources, initializers, ctx) -> State:
 
 
 def initialize(model, timestepper=None, input_sources=(), *, initializers=None,
-               boundary_conditions=None) -> Simulation:
+               boundary_conditions=None, forcings=None) -> Simulation:
     """Create and initialize a :class:`Simulation`
-    (reference `initialize`, `model_integrator.jl:145-161`)."""
+    (reference `initialize`, `model_integrator.jl:145-161`).
+
+    ``forcings`` attaches generic source/sink terms to any prognostic
+    variable (reference `src/forcings.jl:13-19`): a dict
+    ``name -> fn(state, grid)`` whose values are added to the named tendency
+    every step (the prognostic's own units per second; dotted ``"ns.var"``
+    names address namespaced prognostics)."""
     timestepper = timestepper if timestepper is not None else ForwardEuler()
     sim = Simulation(model, timestepper, state=None,
                      input_sources=input_sources, bcs=boundary_conditions,
-                     initializers=initializers)
+                     initializers=initializers, forcings=forcings)
     sim.state = _initial_state(model, sim.input_sources, sim.initializers, sim.ctx)
+    # fail fast on forcings targeting unknown/non-prognostic variables
+    for name in sim.forcings:
+        st, var = sim.state, name
+        if "." in name:
+            ns_name, var = name.split(".", 1)
+            if ns_name not in st.namespaces:
+                raise KeyError(f"forcing target namespace {ns_name!r} not found")
+            st = st.namespaces[ns_name]
+        if var not in st.prognostic:
+            raise KeyError(
+                f"forcing target {name!r} is not a prognostic variable "
+                f"(prognostics: {sorted(st.prognostic)})")
     return sim

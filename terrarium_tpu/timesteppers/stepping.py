@@ -14,7 +14,30 @@ import dataclasses
 from ..ops.vertical_ops import apply_flux_bcs
 from ..state import State, reset_tendencies
 
-__all__ = ["ForwardEuler", "Heun", "explicit_step", "update_state"]
+__all__ = ["ForwardEuler", "Heun", "apply_forcings", "explicit_step",
+           "update_state"]
+
+
+def apply_forcings(state: State, grid, forcings) -> State:
+    """Add generic user source/sink terms to prognostic tendencies
+    (reference `src/forcings.jl:13-19`, target-generic dispatch). Each entry
+    ``name -> fn(state, grid)`` contributes ``fn``'s value (the prognostic's
+    own units per second, shaped like the variable: XY or XYZ) with ``+=``
+    semantics, so forcings stack with process tendencies. Dotted names
+    (``"ns.var"``) address namespaced prognostics. Runs inside
+    :func:`update_state`, i.e. re-evaluated per Heun stage like the
+    reference's per-kernel forcing calls."""
+    if not forcings:
+        return state
+    for name, fn in forcings.items():
+        if "." in name:
+            ns_name, var = name.split(".", 1)
+            ns = state.namespaces[ns_name]
+            state = state.replace_namespace(
+                ns_name, apply_forcings(ns, grid, {var: fn}))
+        else:
+            state = state.add_tendencies(**{name: fn(state, grid)})
+    return state
 
 
 def explicit_step(state: State, grid, bcs, dt) -> State:
@@ -45,7 +68,7 @@ def update_state(model, state: State, ctx, input_sources=()) -> State:
         state = src.update_inputs(state)
     state = model.compute_auxiliary(state, ctx)
     state = model.compute_tendencies(state, ctx)
-    return state
+    return apply_forcings(state, model.grid, getattr(ctx, "forcings", None))
 
 
 @dataclasses.dataclass(frozen=True)
