@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 
 from ..grids.column import ColumnGrid
 
-__all__ = ["make_fused_step"]
+__all__ = ["make_fused_step", "make_fused_lean_rollout"]
 
 
 def _round_up(x, m):
@@ -165,3 +165,193 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     return fused
+
+
+def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
+                            dt: float, inner_steps: int,
+                            block_cells: int = 1024,
+                            interpret: bool = False):
+    """Build ``rollout(state, n) -> state`` executing ``n`` steps with the
+    VMEM-resident fused kernel, carrying only the LIVE state leaves.
+
+    This combines the two rollout optimizations measured separately in
+    rounds 1-2:
+
+    * the lean carry of `utils/scan_dce.lean_rollout` — the closure-rotated
+      step ``pre_closure_step`` consumes only prognostics (+ clock); dead
+      leaves (tendencies, transient auxiliaries) are rebuilt as zeros inside
+      the body, and ``closure ∘ pre_closure_step^n == step^n`` exactly on
+      the prognostics;
+    * the whole-step Pallas fusion of :func:`make_fused_step` — but with
+      ``inner_steps`` steps per kernel invocation (`lax.fori_loop` in VMEM),
+      so intermediate states never touch HBM at all. Per kernel call the
+      HBM traffic is ONE read + ONE write of the live leaves per block,
+      amortized over ``inner_steps`` timesteps.
+
+    ``n`` must be a multiple of ``inner_steps``. The trailing ``closure`` is
+    applied by XLA on the rebuilt state; transient auxiliaries are stale
+    zeros afterwards (`Simulation.run` refreshes them via
+    ``compute_auxiliary``, mirroring the reference's finalize pass,
+    `model_integrator.jl:86-87`).
+    """
+    grid = model.grid
+    cells = grid.cells
+    block = min(block_cells, _round_up(cells, 128))
+    n_blocks = -(-cells // block)
+    padded = n_blocks * block
+
+    for src in input_sources:
+        if hasattr(src, "times"):
+            raise ValueError("fused rollout supports only static input sources")
+
+    block_grid = ColumnGrid(cells=block, vertical=grid.vertical, nf=grid.nf)
+
+    def step_fn(state, zc, zf, dz, dzf):
+        g = block_grid.with_traced_coords(zc, zf, dz, dzf)
+        m = _dc.replace(model, grid=g)
+        return timestepper.pre_closure_step(m, state, ctx, input_sources, dt)
+
+    coord_arrays = (grid.z_centers, grid.z_faces, grid.dz, grid.dz_faces)
+
+    def _to2d(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == 0:
+            return leaf[None, None]
+        if leaf.ndim == 1:
+            return leaf[None, :]
+        return leaf
+
+    def _pad(leaf):
+        if leaf.shape[-1] == padded or leaf.shape == (1, 1):
+            return leaf
+        return jnp.pad(leaf, ((0, 0), (0, padded - leaf.shape[-1])), mode="edge")
+
+    def rollout(state, n: int):
+        from .vertical_ops import force_concat_shifts
+
+        if n % inner_steps != 0:
+            raise ValueError(f"n={n} not a multiple of inner_steps={inner_steps}")
+
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        ndims = [jnp.ndim(l) for l in leaves]
+
+        def block_like(leaf):
+            if jnp.ndim(leaf) == 0:
+                return jax.ShapeDtypeStruct((), leaf.dtype)
+            if jnp.ndim(leaf) == 1:
+                return jax.ShapeDtypeStruct((block,), leaf.dtype)
+            return jax.ShapeDtypeStruct((leaf.shape[0], block), leaf.dtype)
+
+        samples = [block_like(l) for l in leaves]
+        sample = jax.tree_util.tree_unflatten(treedef, samples)
+        coord_samples = [jax.ShapeDtypeStruct(c.shape, c.dtype)
+                         for c in coord_arrays]
+        with force_concat_shifts():
+            converted, extra_consts = jax.closure_convert(step_fn, sample,
+                                                          *coord_samples)
+        consts = list(coord_arrays) + list(extra_consts)
+        consts2d = [_to2d(c) for c in consts]
+
+        # live-leaf analysis (as in utils/scan_dce.lean_rollout): carry only
+        # what one step of the flattened body consumes
+        def flat_step(lv, *cv):
+            st = jax.tree_util.tree_unflatten(treedef, lv)
+            out = step_fn(st, *cv)
+            return jax.tree_util.tree_leaves(out)
+
+        from jax.interpreters import partial_eval as pe
+
+        with force_concat_shifts():
+            closed = jax.make_jaxpr(flat_step)(samples, *coord_samples)
+        _, used = pe.dce_jaxpr(closed.jaxpr, [True] * len(closed.jaxpr.outvars))
+        used_leaves = list(used)[:len(leaves)]
+        live = [i for i, u in enumerate(used_leaves) if u]
+
+        arrays = [_pad(_to2d(leaves[i])) for i in live]
+        n_live = len(arrays)
+
+        def spec_for(a, cell_blocked):
+            if cell_blocked and a.shape != (1, 1):
+                return pl.BlockSpec((a.shape[0], block), lambda i: (0, i))
+            return pl.BlockSpec(a.shape, lambda i: (0, 0))
+
+        cell_blocked = [ndims[i] >= 1 for i in live]
+        in_specs = ([spec_for(a, cb) for a, cb in zip(arrays, cell_blocked)]
+                    + [spec_for(c, False) for c in consts2d])
+        out_specs = [spec_for(a, cb) for a, cb in zip(arrays, cell_blocked)]
+        out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays]
+
+        def kernel(*refs):
+            ins = refs[:n_live]
+            const_refs = refs[n_live:n_live + len(consts2d)]
+            outs = refs[n_live + len(consts2d):]
+
+            def read(ref, nd):
+                val = ref[...]
+                if nd == 0:
+                    return jnp.reshape(val, ())
+                if nd == 1:
+                    return jnp.squeeze(val, axis=0)
+                return val
+
+            const_vals = [read(cr, jnp.ndim(c))
+                          for cr, c in zip(const_refs, consts)]
+            carry0 = [read(ins[k], ndims[live[k]]) for k in range(n_live)]
+
+            def rebuild(carry):
+                vals = {i: v for i, v in zip(live, carry)}
+                out = []
+                for i, s in enumerate(samples):
+                    if i in vals:
+                        out.append(vals[i])
+                    else:
+                        out.append(jnp.zeros(s.shape, s.dtype))
+                return out
+
+            def body(_, carry):
+                st = jax.tree_util.tree_unflatten(treedef, rebuild(carry))
+                out_st = converted(st, *const_vals)
+                out_leaves = jax.tree_util.tree_leaves(out_st)
+                return [out_leaves[i] for i in live]
+
+            carry = jax.lax.fori_loop(0, inner_steps, body, carry0)
+            for k in range(n_live):
+                outs[k][...] = jnp.reshape(carry[k], outs[k].shape)
+
+        fused_block = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )
+
+        n_outer = n // inner_steps
+        if n_outer > 1:
+            def outer_body(arrs, _):
+                return list(fused_block(*arrs, *consts2d)), None
+
+            arrays, _ = jax.lax.scan(outer_body, arrays, None, length=n_outer)
+        else:
+            arrays = list(fused_block(*arrays, *consts2d))
+
+        # rebuild full state: live leaves from the kernel, dead leaves zero
+        new_leaves = []
+        it = iter(arrays)
+        for i, leaf in enumerate(leaves):
+            if used_leaves[i]:
+                arr = next(it)
+                if ndims[i] == 0:
+                    new_leaves.append(arr[0, 0])
+                elif ndims[i] == 1:
+                    new_leaves.append(arr[0, :cells])
+                else:
+                    new_leaves.append(arr[:, :cells])
+            else:
+                new_leaves.append(jnp.zeros_like(leaf))
+        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        # closure ∘ pre_closure_step^n == step^n on the prognostics
+        return model.closure(state, ctx)
+
+    return rollout
