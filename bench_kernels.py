@@ -90,25 +90,58 @@ def main():
     t = timeit(heat_stencil, x)
     report("heat_vertical_stencil", t, 3 * x.size * fsz, bw_peak)
 
-    # 3. saturation adjustment (closure hot path): read sat, write sat (2)
-    def adjust(s):
-        dz_col = jnp.broadcast_to(dzc, s.shape)
-        zrow = jnp.zeros((1,) + s.shape[1:], s.dtype)
-        a = (s - 1.0) * dz_col
-        S = cumsum_z(a)
-        carry = S - jnp.minimum(cummin_z(S), 0.0)
-        c_in = jnp.concatenate([zrow, carry[:-1]], axis=0)
-        s_up = jnp.minimum(s + c_in / dz_col, 1.0)
-        b2 = -s_up * dz_col
-        S2 = cumsum_z(b2, reverse=True)
-        c2 = S2 - jnp.minimum(cummin_z(S2, reverse=True), 0.0)
-        c2_in = jnp.concatenate([c2[1:], zrow], axis=0)
-        return jnp.maximum(s_up - c2_in / dz_col, 0.0) * 0.999 + 1e-4
+    # 3. Richards vertical stencil: Darcy flux with flow-direction-min K
+    #    minimum traffic: read psi, read K faces, write dtheta (3 arrays)
+    from terrarium_tpu.ops.vertical_ops import shift_z
 
-    t = timeit(adjust, sat)
-    report("saturation_adjustment", t, 2 * sat.size * fsz, bw_peak)
+    Kf = jnp.asarray(rng.uniform(1e-7, 1e-5, (NZ + 1, CELLS)), F)
 
-    # 4. batched tridiagonal solve: read a,b,c,d write x (5 arrays)
+    def richards_stencil(psi):
+        grad = grad_faces(psi, dzf)
+        K_eff = jnp.where(grad < 0.0,
+                          jnp.minimum(shift_z(Kf, 1, jnp.inf), Kf),
+                          jnp.minimum(Kf, shift_z(Kf, -1, jnp.inf)))
+        q = -K_eff * grad
+        return psi + 1e-3 * div_faces(q, dzc)
+
+    t = timeit(richards_stencil, x)
+    report("richards_vertical_stencil", t, 3 * x.size * fsz, bw_peak)
+
+    # 4. saturation adjustment (closure hot path): read sat, write sat (2).
+    #    All three production lowerings (hydrology.ADJUST_IMPL).
+    from terrarium_tpu.processes.soil import hydrology as H
+
+    class _G:  # minimal grid facade for adjust_saturation_profile
+        dz = dzc
+        z_faces = jnp.concatenate([jnp.zeros((1, 1), F),
+                                   jnp.cumsum(dzc, axis=0)], axis=0)
+
+    class _S(dict):
+        def __contains__(self, k):
+            return False
+
+        @property
+        def saturation_water_ice(self):
+            return self["sat"]
+
+        def update(self, updates):
+            return self["sat_setter"](updates["saturation_water_ice"])
+
+    hyd = H.SoilHydrology()
+
+    def make_adjust(impl):
+        def adjust(s):
+            H.ADJUST_IMPL = impl
+            st = _S(sat=s, sat_setter=lambda v: v)
+            return hyd.adjust_saturation_profile(st, _G) * 0.999 + 1e-4
+        return adjust
+
+    for impl in ("twopass", "telescoped", "fused"):
+        t = timeit(make_adjust(impl), sat)
+        report(f"saturation_adjustment_{impl}", t, 2 * sat.size * fsz, bw_peak)
+    H.ADJUST_IMPL = "fused"
+
+    # 5. batched tridiagonal solve: read a,b,c,d write x (5 arrays)
     a = jnp.asarray(rng.uniform(-1, 0, (NZ, CELLS)), F)
     c = jnp.asarray(rng.uniform(-1, 0, (NZ, CELLS)), F)
     b = jnp.asarray(2.5 + rng.uniform(0, 1, (NZ, CELLS)), F)

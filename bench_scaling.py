@@ -95,7 +95,44 @@ def main():
     summary = {
         f"{n}dev_efficiency": round(rate / (base * n / min(results)), 3)
         for n, rate in results.items()}
-    print(json.dumps({"metric": "weak_scaling_efficiency", **summary}))
+    print(json.dumps({"metric": "weak_scaling_efficiency",
+                      "note": "virtual devices share host cores; see "
+                              "sharding_overhead below for the meaningful "
+                              "virtual-mesh number", **summary}))
+
+    # The measurable virtual-mesh quantity: SPMD partitioning overhead at
+    # constant compute resources — same total cells, sharded over the full
+    # mesh vs unsharded on one device (same host cores either way). On a
+    # real pod slice each device is physical and the collective-free step
+    # makes weak scaling track this number instead.
+    import os
+
+    cells = args.cells_per_device * args.devices
+    sim = build(cells)
+    roll = jax.jit(make_rollout_fn(sim.model, sim.timestepper, sim.ctx,
+                                   sim.input_sources, steps=args.steps))
+
+    def timed(state):
+        state = roll(state, 60.0)
+        float(np.asarray(jax.numpy.sum(state.prognostic["internal_energy"])))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = roll(state, 60.0)
+            float(np.asarray(jax.numpy.sum(
+                state.prognostic["internal_energy"])))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_unsharded = timed(sim.state)
+    t_sharded = timed(shard_state(sim.state, cell_mesh(all_devices)))
+    print(json.dumps({
+        "metric": "sharding_overhead_constant_compute",
+        "cells": cells, "devices": args.devices,
+        "host_cpus": os.cpu_count(),
+        "t_unsharded_s": round(t_unsharded, 4),
+        "t_sharded_s": round(t_sharded, 4),
+        "sharded_over_unsharded": round(t_sharded / t_unsharded, 3)}))
 
 
 if __name__ == "__main__":

@@ -102,6 +102,76 @@ def test_global_diagnostic_collective():
                                float(np.mean(np.asarray(sim.state.temperature))))
 
 
+def _coupled_land(cells):
+    """Full coupled LandModel: snow + SEB + vegetation + Richards soil +
+    DirectSurfaceRunoff + time-varying forcing (VERDICT r2 item 5: the
+    config where a stray gather/replication would hide)."""
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float64)
+    soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq()))
+    model = tt.LandModel(grid=grid, soil=soil,
+                         vegetation=tt.VegetationCarbon(),
+                         snow=tt.Snowpack())
+    times = np.arange(0.0, 86401.0, 21600.0)
+    per_cell = np.linspace(-12.0, 18.0, cells)[None, :]
+    ta = per_cell + 8.0 * np.sin(2 * np.pi * times / 86400.0)[:, None]
+    sw = np.maximum(0.0, 600.0 * np.sin(2 * np.pi * times / 86400.0))[:, None] \
+        * np.ones((1, cells))
+    forcing = tt.TimeSeriesInputSource(
+        times=times, series={"air_temperature": ta,
+                             "surface_shortwave_down": sw})
+    static = tt.FieldInputSource(fields={"surface_longwave_down": 320.0,
+                                         "rainfall": 4.0e-8,
+                                         "windspeed": 3.0})
+    return tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={"temperature": 2.0, "saturation_water_ice": 0.6,
+                      "snow_water_equivalent": 0.01},
+        input_sources=(forcing, static))
+
+
+def test_sharded_coupled_land_model_bit_identical():
+    """The coupled LandModel steps bit-identically on the 8-device mesh, and
+    the compiled sharded rollout contains NO cross-device communication
+    (collective-free step, SURVEY §2.11)."""
+    cells = 64
+    sim = _coupled_land(cells)
+
+    def roll_fn(state, sources):
+        ts, model_, ctx = sim.timestepper, sim.model, sim.ctx
+        for _ in range(6):
+            state = ts.step(model_, state, ctx, sources, 900.0)
+        return state
+
+    roll = jax.jit(roll_fn)
+    out_single = roll(sim.state, sim.input_sources)
+
+    mesh = cell_mesh()
+    state_sharded = shard_state(sim.state, mesh)
+    sources_sharded = shard_sources(sim.input_sources, cells, mesh)
+    out_sharded = roll(state_sharded, sources_sharded)
+
+    for name in ("internal_energy", "saturation_water_ice", "canopy_water",
+                 "carbon_vegetation", "snow_water_equivalent",
+                 "skin_temperature", "vegetation_area_fraction"):
+        a = np.asarray(out_single.prognostic[name])
+        b = np.asarray(out_sharded.prognostic[name])
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # prognostics stay sharded on cells
+    sh = out_sharded.prognostic["internal_energy"].sharding
+    expected = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "cells"))
+    assert sh.is_equivalent_to(expected, ndim=2), sh
+
+    # no resharding/communication in the compiled HLO: per-column physics
+    # must lower without any collective or gather ops
+    hlo = roll.lower(state_sharded, sources_sharded).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        assert op not in hlo, f"unexpected {op} in sharded LandModel HLO"
+
+
 def test_sharded_time_varying_forcing():
     """(T, cells) forcing series shard on the cells axis like every field
     (SURVEY §2.11: 'forcing ingestion sharded'); time interpolation inside
