@@ -131,6 +131,16 @@ class ImplicitEuler:
     dt: float = 900.0
     solver: str = "pcr"
     stack_solves: bool = False
+    #: Picard (fixed-point) iterations of the linearized backward-Euler
+    #: solve. 1 (default) freezes face conductivities and the chain factor
+    #: D at t^n — the documented one-iteration limitation. With k > 1 the
+    #: implicit variables are re-solved around the updated state:
+    #: ``(I/dt - J(u_k)) du = tend(u_k) - (u_k - u^n)/dt``, which re-centers
+    #: the linearization on the freeze plateau / moving infiltration front
+    #: (explicit-variable updates keep their first-iteration values).
+    #: Accuracy-vs-dt characterization: tests/test_implicit_stiff.py and
+    #: docs/performance.md.
+    picard_iters: int = 1
 
     def default_dt(self):
         return self.dt
@@ -185,6 +195,28 @@ class ImplicitEuler:
         for name in prog:
             if name not in implicit_vars:
                 prog[name] = prog[name] + state.tendencies[name] * dt
+
+        # further Picard sweeps re-center the linearization on the updated
+        # state (see `picard_iters` docstring)
+        prog_n = {v: state.prognostic[v] for v in implicit_vars}
+        for _ in range(max(1, int(self.picard_iters)) - 1):
+            st = dataclasses.replace(state, prognostic=dict(prog))
+            st = model.closure(st, ctx)
+            st = update_state(model, st, ctx, input_sources)
+            tend_k = dict(st.tendencies)
+            for name in st.prognostic:
+                var_bcs = (ctx.bcs or {}).get(name)
+                if var_bcs:
+                    tend_k[name] = apply_flux_bcs(tend_k[name], var_bcs, st,
+                                                  grid.dz)
+            st = dataclasses.replace(st, tendencies=tend_k)
+            for t in (model.implicit_terms(st, ctx)
+                      if hasattr(model, "implicit_terms") else ()):
+                a, b, c, _ = _assemble_implicit(t, st, grid, ctx.bcs, dt)
+                rhs = (st.tendencies[t.var]
+                       - (st.prognostic[t.var] - prog_n[t.var]) / dt)
+                prog[t.var] = st.prognostic[t.var] + _SOLVERS[self.solver](
+                    a, b, c, rhs)
         state = dataclasses.replace(state, prognostic=prog)
 
         if state.namespaces:

@@ -1,0 +1,166 @@
+"""Implicit stepper stiff-accuracy characterization (VERDICT r2 item 7,
+SURVEY §7 hard part #3).
+
+Large-dt ImplicitEuler vs a small-dt explicit reference trajectory through
+the two regimes BASELINE config #2 exists for:
+
+(a) a FREEZE FRONT crossing the phase-change plateau (the apparent-heat-
+    capacity linearization with D = dT/dU = 0 on the plateau);
+(b) a SHARP INFILTRATION FRONT in an initially dry column (face K frozen at
+    t^n — the one-Picard-iteration limitation).
+
+The assertions are error BOUNDS chosen ~2x above the currently measured
+errors (recorded in docs/performance.md), so a regression of the
+linearization fails the test; a monotonicity check asserts the error
+shrinks with dt; and the optional second Picard iteration must not degrade
+accuracy on the infiltration front.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import terrarium_tpu as tt
+
+
+# ---------------------------------------------------------------------------
+# (a) freeze front through the phase-change plateau
+# ---------------------------------------------------------------------------
+def _freeze_sim(stepper):
+    grid = tt.ColumnGrid.of(cells=1, spacing=tt.UniformSpacing(dz=0.05, N=40),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)  # heat only, saturated freezing soil
+    return tt.initialize(
+        model, stepper,
+        initializers={"temperature": 1.0, "saturation_water_ice": 1.0},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(-10.0))
+
+
+def _freeze_T(stepper, dt, hours=24.0):
+    sim = _freeze_sim(stepper)
+    sim.run(steps=int(hours * 3600 / dt), dt=dt)
+    return np.asarray(sim.state.temperature)[:, 0]
+
+
+@pytest.fixture(scope="module")
+def freeze_reference():
+    """Small-dt explicit trajectory (dt = 10 s, well inside stability)."""
+    return _freeze_T(tt.ForwardEuler(), dt=10.0)
+
+
+def test_implicit_freeze_front_accuracy(freeze_reference):
+    T_ref = freeze_reference
+    errs = {}
+    for dt in (900.0, 3600.0):
+        T = _freeze_T(tt.ImplicitEuler(), dt=dt)
+        errs[dt] = float(np.max(np.abs(T - T_ref)))
+    # measured (docs/performance.md): 0.005 K at dt=900, 0.14 K at dt=3600
+    # across an 11 K contrast with the front on the plateau.
+    assert errs[900.0] < 0.05, errs
+    assert errs[3600.0] < 0.35, errs
+    # error must shrink as dt does (first-order consistency through the
+    # plateau) — fails if the linearization regresses
+    assert errs[900.0] < errs[3600.0], errs
+    # the front position (depth of the 0-degree crossing) must agree within
+    # one cell at dt=900
+    T9 = _freeze_T(tt.ImplicitEuler(), dt=900.0)
+    front_ref = int(np.argmax(T_ref < 0.0))
+    front_imp = int(np.argmax(T9 < 0.0))
+    assert abs(front_ref - front_imp) <= 1, (front_ref, front_imp)
+
+
+def test_implicit_freeze_energy_conservation():
+    """Backward Euler with flux BCs conserves column energy exactly up to
+    the boundary fluxes: with zero-flux BCs, sum(U*dz) is constant."""
+    grid = tt.ColumnGrid.of(cells=1, spacing=tt.UniformSpacing(dz=0.1, N=20),
+                            nf=np.float64)
+    model = tt.SoilModel(grid=grid)
+    sim = tt.initialize(
+        model, tt.ImplicitEuler(dt=3600.0),
+        initializers={"temperature": lambda x, z: 1.0 + 0.4 * z,
+                      "saturation_water_ice": 1.0})
+    dz = np.asarray(grid.dz)
+    U0 = float(np.sum(np.asarray(sim.state.internal_energy) * dz))
+    sim.run(steps=24)
+    U1 = float(np.sum(np.asarray(sim.state.internal_energy) * dz))
+    np.testing.assert_allclose(U1, U0, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# (b) sharp infiltration front in an initially dry column
+# ---------------------------------------------------------------------------
+def _infil_sim(stepper, picard=None):
+    if picard is not None:
+        stepper = tt.ImplicitEuler(picard_iters=picard)
+    grid = tt.ColumnGrid.of(cells=1, spacing=tt.UniformSpacing(dz=0.05, N=30),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        sat_hydraulic_cond=1e-5,
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+    return tt.initialize(
+        model, stepper,
+        initializers={"temperature": 5.0, "saturation_water_ice": 0.35},
+        # ponded surface: saturated top via Dirichlet pressure head 0
+        boundary_conditions={"pressure_head": {"top": tt.Dirichlet(0.0)}})
+
+
+def _infil_sat(stepper, dt, hours=6.0, picard=None):
+    sim = _infil_sim(stepper, picard)
+    sim.run(steps=int(hours * 3600 / dt), dt=dt)
+    return np.asarray(sim.state.saturation_water_ice)[:, 0]
+
+
+@pytest.fixture(scope="module")
+def infil_reference():
+    return _infil_sat(tt.ForwardEuler(), dt=5.0)
+
+
+def _mass_profile_err(s, s_ref, dz=0.05):
+    """Max error of the cumulative-water profile [m] — the physically
+    meaningful front metric (a pointwise sat diff of O(1) at a sharp front
+    is just a one-cell front offset)."""
+    W = np.cumsum(s[::-1])[::-1] * dz
+    W_ref = np.cumsum(s_ref[::-1])[::-1] * dz
+    return float(np.max(np.abs(W - W_ref)))
+
+
+def test_implicit_infiltration_front_accuracy(infil_reference):
+    """Characterization (measured values in docs/performance.md): at
+    dt=300 s the Picard-1 scheme tracks the explicit front to ~0.02 m of
+    cumulative water (~1 cell of front offset); at dt=1800 s the frozen-K
+    linearization under-infiltrates the ponded-Dirichlet influx and the
+    error grows to ~0.22 m. Bounds are ~2x measured; monotonic in dt."""
+    s_ref = infil_reference
+    errs = {dt: _mass_profile_err(_infil_sat(tt.ImplicitEuler(), dt=dt), s_ref)
+            for dt in (300.0, 1800.0)}
+    assert errs[300.0] < 0.05, errs
+    assert errs[1800.0] < 0.45, errs
+    assert errs[300.0] < errs[1800.0], errs
+
+
+def test_second_picard_iteration_tightens_infiltration(infil_reference):
+    """picard_iters=2 re-centers face K on the moving front. Measured: a
+    ~10x accuracy gain at dt=300 (mass-profile err 0.021 -> 0.002) and
+    parity-or-better at dt=1800 (0.223 -> 0.216, where the influx lag
+    dominates both schemes)."""
+    s_ref = infil_reference
+    e1_300 = _mass_profile_err(_infil_sat(None, 300.0, picard=1), s_ref)
+    e2_300 = _mass_profile_err(_infil_sat(None, 300.0, picard=2), s_ref)
+    assert e2_300 < 0.4 * e1_300, (e1_300, e2_300)
+    e1_18 = _mass_profile_err(_infil_sat(None, 1800.0, picard=1), s_ref)
+    e2_18 = _mass_profile_err(_infil_sat(None, 1800.0, picard=2), s_ref)
+    assert e2_18 <= e1_18 * 1.05, (e1_18, e2_18)
+
+
+def test_second_picard_iteration_freeze_plateau(freeze_reference):
+    """Same guarantee through the freeze front."""
+    T_ref = freeze_reference
+    dt = 3600.0
+    e1 = float(np.max(np.abs(_freeze_T(tt.ImplicitEuler(picard_iters=1), dt)
+                             - T_ref)))
+    e2 = float(np.max(np.abs(_freeze_T(tt.ImplicitEuler(picard_iters=2), dt)
+                             - T_ref)))
+    assert e2 <= e1 * 1.05, (e1, e2)
