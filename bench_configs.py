@@ -235,6 +235,71 @@ def config5_grad_n145(tt):
            "dT_dk_mineral": round(float(g), 6)})
 
 
+def config6_grad_n145_coupled(tt):
+    """BASELINE config #5 at full coupling: gradient through the COUPLED
+    heat + Richards N145 rollout (fwd+bwd), parameter = log saturated
+    hydraulic conductivity, objective mixing both prognostic families.
+    Includes a central-difference cross-check at reduced size (VERDICT r2
+    item 9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from terrarium_tpu.timesteppers.autodiff import make_rollout_fn
+
+    def make_loss(grid, steps, dt):
+        def loss(log_ksat):
+            props = tt.ConstantSoilHydraulics(
+                sat_hydraulic_cond=jnp.exp(log_ksat),
+                swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+                unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+            soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+                vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+            model = tt.SoilModel(grid=grid, soil=soil)
+            sim = tt.initialize(
+                model, tt.ForwardEuler(),
+                initializers={
+                    "temperature": -1.0,
+                    "saturation_water_ice": lambda x, z: np.minimum(
+                        1.0, 0.6 - 0.04 * z)},
+                boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+            roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
+                                   steps=steps, remat=True)
+            out = roll(sim.state, dt)
+            return (jnp.mean(out.temperature)
+                    + jnp.mean(out.saturation_water_ice))
+        return loss
+
+    # finite-difference cross-check at reduced size (64 columns, nz=10)
+    small = tt.ColumnGrid.of(cells=64, spacing=tt.ExponentialSpacing(N=10),
+                             nf=np.float32)
+    loss_s = make_loss(small, steps=48, dt=300.0)
+    x0, h = float(np.log(1e-5)), 0.02
+    g_ad = float(jax.jit(jax.grad(loss_s))(x0))
+    f_p = float(jax.jit(loss_s)(x0 + h))
+    f_m = float(jax.jit(loss_s)(x0 - h))
+    g_fd = (f_p - f_m) / (2 * h)
+    fd_rel_err = abs(g_ad - g_fd) / max(abs(g_fd), 1e-12)
+
+    grid = _ring_grid(145, 20, tt)
+    steps = 288
+    vg = jax.jit(jax.value_and_grad(make_loss(grid, steps, 300.0)))
+    t0 = time.perf_counter()
+    v, g = vg(x0)
+    float(v), float(g)
+    comp = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        v, g = vg(x0)
+        float(v), float(g)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    _emit("grad_n145_heat_richards", grid.cells, steps, med, comp, 300.0,
+          {"land_cells": int(grid.n_land), "includes": "forward+backward",
+           "param": "log_K_sat", "dloss_dlogksat": round(float(g), 6),
+           "fd_rel_err_reduced": round(fd_rel_err, 5)})
+
+
 def main():
     import jax
 
@@ -244,7 +309,8 @@ def main():
     import terrarium_tpu as tt
 
     for fn in (config1_column_heat, config2_implicit, config3_global_heat_n72,
-               config4_land_coupled_n145, config5_grad_n145):
+               config4_land_coupled_n145, config5_grad_n145,
+               config6_grad_n145_coupled):
         try:
             fn(tt)
         except Exception as e:  # keep the suite going; report the failure

@@ -112,7 +112,15 @@ class SoilHydraulicsSURFEX:
         return self.sat_hydraulic_cond
 
     def wilting_point(self, texture: SoilTexture):
-        return self.wilting_point_coef * jnp.sqrt(texture.clay * 100.0)
+        # math.sqrt keeps the scalar weakly typed: jnp.sqrt of a python
+        # float is a STRONG f64 array under x64 and would promote every
+        # f32 field downstream (PAW -> beta -> ET -> saturation)
+        import math
+
+        clay100 = texture.clay * 100.0
+        if isinstance(clay100, (int, float)):
+            return self.wilting_point_coef * math.sqrt(clay100)
+        return self.wilting_point_coef * jnp.sqrt(clay100)
 
     def field_capacity(self, texture: SoilTexture):
         return self.field_capacity_coef * (texture.clay * 100.0) ** self.field_capacity_exp

@@ -86,9 +86,12 @@ class LUEPhotosynthesis:
     def temperature_stress(self, T_air):
         """Double-sigmoid temperature response
         (reference `photosynthesis.jl:155-186`)."""
-        k1 = 2.0 * np.log(1.0 / 0.99 - 1.0) / (self.T_CO2_low - self.T_photos_low)
+        # float() keeps the numpy log constants weakly typed (np.float64
+        # scalars are strong under x64 and would promote the f32 chain)
+        k1 = 2.0 * float(np.log(1.0 / 0.99 - 1.0)) / (self.T_CO2_low
+                                                      - self.T_photos_low)
         k2 = 0.5 * (self.T_CO2_low + self.T_photos_low)
-        k3 = np.log(0.99 / 0.01) / (self.T_CO2_high - self.T_photos_high)
+        k3 = float(np.log(0.99 / 0.01)) / (self.T_CO2_high - self.T_photos_high)
         low = 1.0 / (1.0 + jnp.exp(k1 * (k2 - T_air)))
         high = 1.0 - 0.01 * jnp.exp(k3 * (T_air - self.T_photos_high))
         in_range = (T_air > self.T_CO2_low) & (T_air < self.T_CO2_high)
