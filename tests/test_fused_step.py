@@ -47,3 +47,35 @@ def test_fused_step_matches_xla_step():
                 np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-6,
                 err_msg=f"{group}/{name}")
     assert float(state_f.clock.time) == float(state_x.clock.time)
+
+
+def test_fused_lean_rollout_matches_lean_rollout():
+    """`make_fused_lean_rollout` (VMEM-resident multi-step kernel, lean
+    carry) must reproduce the XLA lean rollout bit-for-bit in interpret
+    mode: same concat-shift trace, same arithmetic, same closure rotation
+    (closure o pre_closure_step^n == step^n on the prognostics)."""
+    import jax
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    sim = _sim(cells=96, nz=12)
+    n = 12
+    s_ref = sim._rollout_fn(n)(sim.state, 60.0)
+
+    fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                    sim.input_sources, dt=60.0,
+                                    inner_steps=4, block_cells=64,
+                                    interpret=True)
+    s_fus = jax.jit(lambda s: fused(s, n))(sim.state)
+
+    for name in ("internal_energy", "saturation_water_ice",
+                 "surface_excess_water"):
+        np.testing.assert_array_equal(
+            np.asarray(s_fus.prognostic[name]),
+            np.asarray(s_ref.prognostic[name]), err_msg=name)
+    # closure variables from the trailing closure
+    for name in ("temperature", "pressure_head", "liquid_water_fraction"):
+        np.testing.assert_array_equal(np.asarray(s_fus[name]),
+                                      np.asarray(s_ref[name]), err_msg=name)
+    assert float(s_fus.clock.time) == float(s_ref.clock.time)
+    assert int(s_fus.clock.iteration) == int(s_ref.clock.iteration)
