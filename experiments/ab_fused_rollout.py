@@ -90,8 +90,16 @@ def main():
     if len(sys.argv) > 3:
         child(int(sys.argv[2]), int(sys.argv[3]))
         return
-    for block, inner in ((1024, 1), (1024, 16), (1024, 144),
-                         (2048, 144), (512, 144), (1024, 720)):
+    import itertools
+
+    grid_arg = sys.argv[1] if len(sys.argv) > 1 else "coarse"
+    if grid_arg == "fine":
+        variants = ((256, 144), (384, 144), (512, 48), (512, 288),
+                    (640, 144), (256, 288))
+    else:
+        variants = ((1024, 1), (1024, 16), (1024, 144),
+                    (2048, 144), (512, 144), (1024, 720))
+    for block, inner in variants:
         try:
             p = subprocess.run(
                 [sys.executable, __file__, "child", str(block), str(inner)],

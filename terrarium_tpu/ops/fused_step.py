@@ -21,7 +21,7 @@ model family).
 from __future__ import annotations
 
 import dataclasses as _dc
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -170,7 +170,7 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
 def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                             dt: float, inner_steps: int,
                             block_cells: int = 1024,
-                            interpret: bool = False):
+                            interpret: Optional[bool] = None):
     """Build ``rollout(state, n) -> state`` executing ``n`` steps with the
     VMEM-resident fused kernel, carrying only the LIVE state leaves.
 
@@ -199,6 +199,10 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
     block = min(block_cells, _round_up(cells, 128))
     n_blocks = -(-cells // block)
     padded = n_blocks * block
+    if interpret is None:
+        # Mosaic only exists on TPU; everywhere else (CPU dev/test) the
+        # kernel runs through the Pallas interpreter, bit-identically
+        interpret = jax.default_backend() != "tpu"
 
     for src in input_sources:
         if hasattr(src, "times"):

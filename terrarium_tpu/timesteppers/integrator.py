@@ -77,6 +77,15 @@ class Simulation:
         #: `lax.scan` unroll factor for multi-step rollouts (perf knob;
         #: bit-identical results for any value).
         self.scan_unroll = 1
+        #: opt-in Pallas fused lean rollout (`ops/fused_step.py`): None =
+        #: XLA lean scan (default); an int = `inner_steps` timesteps per
+        #: VMEM-resident kernel invocation (rollout lengths must divide by
+        #: it). Equivalent to the XLA path (locked in interpret mode,
+        #: tests/test_fused_step.py); on-chip A/B:
+        #: experiments/ab_fused_rollout.py.
+        self.fused_inner_steps = None
+        #: cell-block width of the fused kernel (VMEM tile).
+        self.fused_block_cells = 1024
 
     # -- compiled step ----------------------------------------------------
     @property
@@ -117,6 +126,8 @@ class Simulation:
         return self._step_fn
 
     def _rollout_fn(self, n_inner: int):
+        if self.fused_inner_steps:
+            return self._fused_rollout_fn(n_inner)
         key = (n_inner, int(self.scan_unroll))
         if key not in self._rollout_fns:
             model, ts, ctx = self.model, self.timestepper, self.ctx
@@ -164,6 +175,35 @@ class Simulation:
 
             wrapper._jit = rollout
             wrapper._cache_size = rollout._cache_size
+            self._rollout_fns[key] = wrapper
+        return self._rollout_fns[key]
+
+    def _fused_rollout_fn(self, n_inner: int):
+        """Rollout via the Pallas fused lean kernel (`fused_inner_steps`)."""
+        import jax
+
+        inner = int(self.fused_inner_steps)
+        key = ("fused", n_inner, inner, int(self.fused_block_cells))
+        if key not in self._rollout_fns:
+            from ..ops.fused_step import make_fused_lean_rollout
+
+            if n_inner % inner != 0:
+                raise ValueError(
+                    f"rollout length {n_inner} must be a multiple of "
+                    f"fused_inner_steps={inner}")
+            dt0 = self.timestepper.default_dt()
+            fused = make_fused_lean_rollout(
+                self.model, self.timestepper, self.ctx, self.input_sources,
+                dt=dt0, inner_steps=inner,
+                block_cells=int(self.fused_block_cells))
+            jitted = jax.jit(lambda s: fused(s, n_inner))
+
+            def wrapper(state, dt, _dt0=dt0, _fn=jitted):
+                if float(dt) != float(_dt0):
+                    raise ValueError(
+                        f"fused rollout baked dt={_dt0}, got {dt}")
+                return _fn(state)
+
             self._rollout_fns[key] = wrapper
         return self._rollout_fns[key]
 
