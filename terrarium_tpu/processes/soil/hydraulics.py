@@ -64,8 +64,10 @@ class UnsatKVanGenuchten:
         # subgradient here is 0, matching the reference's Enzyme tests that
         # only probe unsaturated states).
         se_safe = jnp.minimum(se, 1.0 - 1e-9)
+        from ...ops.fastpow import fast_pow
         K_unsat = K_sat * I_ice * jnp.sqrt(se_safe) * (
-            1.0 - (1.0 - se_safe ** (n / (n + 1.0))) ** ((n - 1.0) / n)) ** 2
+            1.0 - fast_pow(1.0 - fast_pow(se_safe, n / (n + 1.0)),
+                           (n - 1.0) / n)) ** 2
         return jnp.where(se >= 1.0, K_sat * I_ice, K_unsat)
 
 

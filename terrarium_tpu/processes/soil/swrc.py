@@ -13,6 +13,8 @@ import dataclasses
 
 import jax.numpy as jnp
 
+from ...ops.fastpow import fast_pow
+
 __all__ = ["VanGenuchten", "BrooksCorey"]
 
 
@@ -36,8 +38,8 @@ class VanGenuchten:
     def __call__(self, psi, theta_sat):
         m = 1.0 - 1.0 / self.n
         psi_neg = jnp.minimum(psi, 0.0)
-        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * (
-            1.0 + (-self.alpha * psi_neg) ** self.n) ** (-m)
+        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * fast_pow(
+            1.0 + fast_pow(-self.alpha * psi_neg, self.n), -m)
         return jnp.where(psi < 0.0, theta_unsat, theta_sat)
 
     def inverse(self, theta, theta_sat):
@@ -50,7 +52,8 @@ class VanGenuchten:
         m = 1.0 - 1.0 / self.n
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
         se_safe = jnp.clip(se, 1e-8, 1.0 - 1e-12)
-        psi = -(1.0 / self.alpha) * (se_safe ** (-1.0 / m) - 1.0) ** (1.0 / self.n)
+        psi = -(1.0 / self.alpha) * fast_pow(
+            fast_pow(se_safe, -1.0 / m) - 1.0, 1.0 / self.n)
         psi = jnp.maximum(psi, self.psi_min)
         return jnp.where(se >= 1.0, 0.0, psi)
 
@@ -60,9 +63,10 @@ class VanGenuchten:
         m = 1.0 - 1.0 / self.n
         dth = theta_sat - self.theta_res
         se = jnp.clip((theta - self.theta_res) / dth, 1e-6, 1.0 - 1e-9)
-        core = (se ** (-1.0 / m) - 1.0)
-        dpsi_dse = (1.0 / (self.alpha * self.n * m)) * core ** ((1.0 - self.n) / self.n) \
-            * se ** (-(1.0 + m) / m)
+        core = fast_pow(se, -1.0 / m) - 1.0
+        dpsi_dse = (1.0 / (self.alpha * self.n * m)) \
+            * fast_pow(core, (1.0 - self.n) / self.n) \
+            * fast_pow(se, -(1.0 + m) / m)
         d = dpsi_dse / dth
         sat_mask = (theta - self.theta_res) / dth >= 1.0
         return jnp.where(sat_mask, 0.0, jnp.clip(d, 0.0, clamp))
@@ -84,14 +88,14 @@ class BrooksCorey:
 
     def __call__(self, psi, theta_sat):
         psi_safe = jnp.minimum(psi, -self.psi_s)
-        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * (
-            self.psi_s / -psi_safe) ** self.lam
+        theta_unsat = self.theta_res + (theta_sat - self.theta_res) * fast_pow(
+            self.psi_s / -psi_safe, self.lam)
         return jnp.where(psi < -self.psi_s, theta_unsat, theta_sat)
 
     def inverse(self, theta, theta_sat):
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
         se = jnp.clip(se, 1e-8, 1.0)
-        psi = -self.psi_s * se ** (-1.0 / self.lam)
+        psi = -self.psi_s * fast_pow(se, -1.0 / self.lam)
         psi = jnp.maximum(psi, self.psi_min)
         return jnp.where(se >= 1.0, 0.0, psi)
 
@@ -100,5 +104,5 @@ class BrooksCorey:
         dth = theta_sat - self.theta_res
         se_raw = (theta - self.theta_res) / dth
         se = jnp.clip(se_raw, 1e-6, 1.0)
-        d = (self.psi_s / self.lam) * se ** (-1.0 / self.lam - 1.0) / dth
+        d = (self.psi_s / self.lam) * fast_pow(se, -1.0 / self.lam - 1.0) / dth
         return jnp.where(se_raw >= 1.0, 0.0, jnp.clip(d, 0.0, clamp))
