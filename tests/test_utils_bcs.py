@@ -231,3 +231,23 @@ def test_bc_callable_arity_dispatch():
     # two required positional params: the f(t, state) form
     assert float(resolve_bc_value(
         lambda t, st: t + st.clock.time, state)) == 200.0
+
+
+def test_fast_pow_shortcuts_and_fallback():
+    """`ops/fastpow.fast_pow`: algebraic shortcuts for small-rational static
+    exponents agree with the pow lowering to float rounding; irrational
+    exponents fall back to `**` exactly."""
+    import jax.numpy as jnp
+
+    from terrarium_tpu.ops import fastpow
+
+    x = jnp.asarray(np.abs(np.random.default_rng(3).normal(size=500)) + 1e-3)
+    for p in (2.0, 3.0, -1.0, -2.0, 0.5, -0.5, 1.5, -1.5, 2.0 / 3.0,
+              -1.0 / 3.0, 7.0 / 2.0, 11.0 / 3.0, 0.0, 1.0):
+        np.testing.assert_allclose(np.asarray(fastpow.fast_pow(x, p)),
+                                   np.asarray(x) ** p, rtol=1e-12,
+                                   err_msg=f"p={p}")
+    # non-rational exponent: exact fallback
+    p = 0.3517
+    np.testing.assert_array_equal(np.asarray(fastpow.fast_pow(x, p)),
+                                  np.asarray(x ** p))
