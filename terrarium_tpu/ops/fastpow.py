@@ -49,7 +49,13 @@ def fast_pow(x, p):
     if p == 1.0:
         return x
     if FAST_POW:
-        for denom in (1, 2, 3):
+        # Mosaic has no cbrt lowering — inside Pallas kernel tracing
+        # (signalled by force_concat_shifts) only the 1/2-denominator
+        # shortcuts apply; third-roots fall back to pow (which Mosaic
+        # lowers fine).
+        from .vertical_ops import _FORCE_CONCAT
+
+        for denom in (1, 2) if _FORCE_CONCAT else (1, 2, 3):
             num = p * denom
             if abs(num - round(num)) < 1e-12 and abs(round(num)) <= _MAX_NUM:
                 num = int(round(num))
