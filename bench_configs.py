@@ -300,7 +300,53 @@ def config6_grad_n145_coupled(tt):
            "fd_rel_err_reduced": round(fd_rel_err, 5)})
 
 
+def config7_heun_n145(tt):
+    """Heun (2nd-order) on the headline N145 heat+Richards workload with
+    time-varying forcing — exercises the predictor/corrector staging and the
+    input re-update at t+dt inside the lean scan (VERDICT r2 weak #7)."""
+    cells = _n145_cells()
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=30),
+                            nf=np.float32)
+    hydrology = tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(),
+        hydraulic_properties=tt.ConstantSoilHydraulics(
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten()))
+    model = tt.SoilModel(grid=grid,
+                         soil=tt.SoilEnergyWaterCarbon(hydrology=hydrology))
+    hours = np.arange(0.0, 31 * 86400.0, 3600.0)
+    ts = (5.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)
+          * np.ones((1, cells))).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.Heun(dt=60.0),
+        initializers={
+            "temperature": lambda x, z: 1.0 + 0.0 * z,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z),
+        },
+        boundary_conditions=tt.PrescribedSurfaceTemperature("surface_temperature"),
+        input_sources=(forcing,),
+    )
+    steps = 2880  # 2 simulated days at dt=60 (Heun does 2 stages/step)
+    roll = sim._rollout_fn(steps)
+    med, comp, _ = _time_blocks(roll, sim.state, 60.0,
+                                lambda s: s.prognostic["internal_energy"])
+    _emit("heun_n145_heat_richards_forcing", cells, steps, med, comp, 60.0,
+          {"stages_per_step": 2})
+
+
+CONFIGS = {
+    "1": config1_column_heat, "2": config2_implicit,
+    "3": config3_global_heat_n72, "4": config4_land_coupled_n145,
+    "5": config5_grad_n145, "6": config6_grad_n145_coupled,
+    "7": config7_heun_n145,
+}
+
+
 def main():
+    import sys
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -308,9 +354,8 @@ def main():
 
     import terrarium_tpu as tt
 
-    for fn in (config1_column_heat, config2_implicit, config3_global_heat_n72,
-               config4_land_coupled_n145, config5_grad_n145,
-               config6_grad_n145_coupled):
+    picks = sys.argv[1:] or ["1", "2", "3", "4", "5", "6", "7"]
+    for fn in (CONFIGS[p] for p in picks):
         try:
             fn(tt)
         except Exception as e:  # keep the suite going; report the failure

@@ -23,7 +23,7 @@ TIMEOUT_S = 900
 STEPS = 1440
 
 
-def child(block, inner):
+def child(block, inner, adjust=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -31,6 +31,11 @@ def child(block, inner):
 
     from experiments.ab_unroll import build_sim
     from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    if adjust:
+        from terrarium_tpu.processes.soil import hydrology as H
+
+        H.ADJUST_IMPL = adjust
 
     sim, cells = build_sim()
     dt = 60.0
@@ -77,7 +82,7 @@ def child(block, inner):
     medx = float(np.median(tx))
 
     print(json.dumps({
-        "block": block, "inner": inner, "status": "ok",
+        "block": block, "inner": inner, "adjust": adjust, "status": "ok",
         "fused_M": round(cells * STEPS / med / 1e6, 1),
         "xla_M": round(cells * STEPS / medx / 1e6, 1),
         "speedup": round(medx / med, 3),
@@ -87,25 +92,36 @@ def child(block, inner):
 
 
 def main():
-    if len(sys.argv) > 3:
-        child(int(sys.argv[2]), int(sys.argv[3]))
+    if len(sys.argv) > 3 and sys.argv[1] == "child":
+        child(int(sys.argv[2]), int(sys.argv[3]),
+              sys.argv[4] if len(sys.argv) > 4 else None)
         return
-    import itertools
 
     grid_arg = sys.argv[1] if len(sys.argv) > 1 else "coarse"
     if grid_arg == "fine":
         variants = ((256, 144), (384, 144), (512, 48), (512, 288),
                     (640, 144), (256, 288))
+    elif grid_arg == "r3":
+        # post-fast_pow re-sweep + in-kernel ADJUST_IMPL A/B (the MXU is
+        # idle inside the fused kernel, so the dot-cumsum may win there)
+        variants = ((512, 144), (512, 144, "telescoped"), (512, 288),
+                    (384, 144), (640, 144), (768, 144),
+                    (512, 144, "twopass"))
     else:
         variants = ((1024, 1), (1024, 16), (1024, 144),
                     (2048, 144), (512, 144), (1024, 720))
-    for block, inner in variants:
+    for v in variants:
+        block, inner = v[0], v[1]
+        adjust = v[2] if len(v) > 2 else None
+        args = [sys.executable, __file__, "child", str(block), str(inner)]
+        if adjust:
+            args.append(adjust)
         try:
-            p = subprocess.run(
-                [sys.executable, __file__, "child", str(block), str(inner)],
-                capture_output=True, text=True, timeout=TIMEOUT_S)
+            p = subprocess.run(args, capture_output=True, text=True,
+                               timeout=TIMEOUT_S)
         except subprocess.TimeoutExpired:
             print(json.dumps({"block": block, "inner": inner,
+                              "adjust": adjust,
                               "status": "hang", "seconds": TIMEOUT_S}),
                   flush=True)
             continue
@@ -115,6 +131,7 @@ def main():
         else:
             err = (p.stderr or "").strip().splitlines()
             print(json.dumps({"block": block, "inner": inner,
+                              "adjust": adjust,
                               "status": "error", "tail": err[-4:]}),
                   flush=True)
 

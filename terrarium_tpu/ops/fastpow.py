@@ -40,6 +40,28 @@ def _ipow(x, k: int):
     return y
 
 
+def _cbrt_newton_f32(x):
+    """Division-free cbrt for non-negative f32 ``x``: inverse-cbrt bit-trick
+    seed + 3 Newton steps on ``r -> r(4 - x r^3)/3`` (r = x^(-1/3)), then
+    ``cbrt = x r^2``. Max error ~4 ulp over [1e-12, 1e3]; exact at 0.
+
+    Exists for Pallas kernels: Mosaic has no cbrt lowering, and the ``x**p``
+    fallback costs exp+log on the VPU — ~10 multiplies here instead. The
+    seed sits behind `stop_gradient` (bitcasts have no JVP rule); AD through
+    the Newton iterations recovers the derivative to the same few-ulp
+    accuracy, and at x = 0 it is large-but-FINITE (no 0*Inf NaNs under
+    scanned-rollout zero cotangents)."""
+    import jax
+
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    r = jax.lax.bitcast_convert_type(jnp.int32(0x54A21D2A) - i // 3,
+                                     jnp.float32)
+    r = jax.lax.stop_gradient(r)
+    for _ in range(3):
+        r = r * (4.0 - x * r * r * r) * (1.0 / 3.0)
+    return x * r * r
+
+
 def fast_pow(x, p):
     """``x ** p`` for non-negative ``x`` and a STATIC exponent ``p`` (see
     module docstring). Exact zero/one exponents short-circuit."""
@@ -50,12 +72,11 @@ def fast_pow(x, p):
         return x
     if FAST_POW:
         # Mosaic has no cbrt lowering — inside Pallas kernel tracing
-        # (signalled by force_concat_shifts) only the 1/2-denominator
-        # shortcuts apply; third-roots fall back to pow (which Mosaic
-        # lowers fine).
+        # (signalled by force_concat_shifts) third-roots use the Newton
+        # form for f32 and fall back to pow otherwise.
         from .vertical_ops import _FORCE_CONCAT
 
-        for denom in (1, 2) if _FORCE_CONCAT else (1, 2, 3):
+        for denom in (1, 2, 3):
             num = p * denom
             if abs(num - round(num)) < 1e-12 and abs(round(num)) <= _MAX_NUM:
                 num = int(round(num))
@@ -63,7 +84,11 @@ def fast_pow(x, p):
                     root = x
                 elif denom == 2:
                     root = jnp.sqrt(x)
-                else:
+                elif not _FORCE_CONCAT:
                     root = jnp.cbrt(x)
+                elif jnp.result_type(x, 1.0) == jnp.float32:
+                    root = _cbrt_newton_f32(x)
+                else:
+                    continue  # f64 under Mosaic tracing: keep the pow
                 return _ipow(root, num)
     return x ** p

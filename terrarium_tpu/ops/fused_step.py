@@ -170,6 +170,7 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
 def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                             dt: float, inner_steps: int,
                             block_cells: int = 1024,
+                            unroll: int = 1,
                             interpret: Optional[bool] = None):
     """Build ``rollout(state, n) -> state`` executing ``n`` steps with the
     VMEM-resident fused kernel, carrying only the LIVE state leaves.
@@ -318,7 +319,12 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                 out_leaves = jax.tree_util.tree_leaves(out_st)
                 return [out_leaves[i] for i in live]
 
-            carry = jax.lax.fori_loop(0, inner_steps, body, carry0)
+            # `unroll` exposes cross-step code motion to Mosaic (and cuts
+            # loop overhead); watch the backend's compile-time limit on long
+            # in-kernel loop bodies when raising it (inner=720 at unroll 1
+            # already exceeded it)
+            carry = jax.lax.fori_loop(0, inner_steps, body, carry0,
+                                      unroll=unroll)
             for k in range(n_live):
                 outs[k][...] = jnp.reshape(carry[k], outs[k].shape)
 

@@ -63,11 +63,27 @@ class UnsatKVanGenuchten:
         # otherwise propagate NaN through reverse-mode AD (the masked-where
         # subgradient here is 0, matching the reference's Enzyme tests that
         # only probe unsaturated states).
-        se_safe = jnp.minimum(se, 1.0 - 1e-9)
+        # dtype-aware eps: with the f32-blind 1e-9 literal, 1 - se**(n/(n+1))
+        # evaluated to exactly 0 for saturated f32 cells, whose sqrt VJP is
+        # Inf -> NaN gradients under scanned rollouts (see swrc.one_minus_eps)
+        from .swrc import one_minus_eps
+        se_safe = jnp.minimum(se, one_minus_eps(theta_w, 1e-9))
         from ...ops.fastpow import fast_pow
+
+        # the LOW end needs the same double-where treatment: fully-frozen
+        # cells have liquid water theta_w = 0, i.e. se = 0, where d(cbrt)/dse
+        # and d(sqrt)/dse are Inf — scanned rollouts then produce 0*Inf NaN
+        # cotangents (round-3 fix). K is returned as an exact 0 there (the
+        # primal value of the unclamped expression to well below f32
+        # resolution: K_unsat(eps) ~ eps^(11/6) K_sat).
+        import numpy as np
+        eps_lo = float(np.finfo(jnp.result_type(theta_w, 1.0)).eps)
+        frozen = se <= eps_lo
+        se_safe = jnp.where(frozen, eps_lo, se_safe)
         K_unsat = K_sat * I_ice * jnp.sqrt(se_safe) * (
             1.0 - fast_pow(1.0 - fast_pow(se_safe, n / (n + 1.0)),
                            (n - 1.0) / n)) ** 2
+        K_unsat = jnp.where(frozen, 0.0, K_unsat)
         return jnp.where(se >= 1.0, K_sat * I_ice, K_unsat)
 
 

@@ -18,6 +18,23 @@ from ...ops.fastpow import fast_pow
 __all__ = ["VanGenuchten", "BrooksCorey"]
 
 
+def one_minus_eps(x, floor):
+    """``1 - eps`` upper clip for effective saturation that SURVIVES the
+    state dtype: downstream guards rely on ``se**p - 1`` (or ``1 - se**p``)
+    staying representable above 0, so ``eps`` must be well above the ulp of
+    1 in ``x``'s dtype (64 ulp ≈ 7.6e-6 in f32). In f64 the stricter
+    ``floor`` wins, leaving the original f64 behavior unchanged. With the
+    f32-blind literal (1e-12 / 1e-9), a saturated cell evaluated
+    ``sqrt(0)`` whose reverse-mode derivative is Inf — and `lax.scan`
+    rollouts propagate explicit zero cotangents through every carry leaf,
+    turning 0*Inf into NaN gradients (round-3 fix; the direct, un-scanned
+    step DCE'd the path and hid it)."""
+    import numpy as np
+
+    eps = np.finfo(jnp.result_type(x, 1.0)).eps
+    return 1.0 - max(float(floor), 64.0 * float(eps))
+
+
 @dataclasses.dataclass(frozen=True)
 class VanGenuchten:
     """Van Genuchten (1980) retention curve.
@@ -51,7 +68,7 @@ class VanGenuchten:
         `where` gradient would produce 0 * inf = NaN otherwise."""
         m = 1.0 - 1.0 / self.n
         se = (theta - self.theta_res) / (theta_sat - self.theta_res)
-        se_safe = jnp.clip(se, 1e-8, 1.0 - 1e-12)
+        se_safe = jnp.clip(se, 1e-8, one_minus_eps(theta, 1e-12))
         psi = -(1.0 / self.alpha) * fast_pow(
             fast_pow(se_safe, -1.0 / m) - 1.0, 1.0 / self.n)
         psi = jnp.maximum(psi, self.psi_min)
@@ -62,7 +79,8 @@ class VanGenuchten:
         implicit stepper's Jacobian linearization)."""
         m = 1.0 - 1.0 / self.n
         dth = theta_sat - self.theta_res
-        se = jnp.clip((theta - self.theta_res) / dth, 1e-6, 1.0 - 1e-9)
+        se = jnp.clip((theta - self.theta_res) / dth, 1e-6,
+                      one_minus_eps(theta, 1e-9))
         core = fast_pow(se, -1.0 / m) - 1.0
         dpsi_dse = (1.0 / (self.alpha * self.n * m)) \
             * fast_pow(core, (1.0 - self.n) / self.n) \

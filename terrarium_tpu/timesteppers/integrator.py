@@ -86,6 +86,9 @@ class Simulation:
         self.fused_inner_steps = None
         #: cell-block width of the fused kernel (VMEM tile).
         self.fused_block_cells = 1024
+        #: in-kernel step-loop unroll of the fused kernel (cross-step code
+        #: motion for Mosaic; raises compile time).
+        self.fused_unroll = 1
 
     # -- compiled step ----------------------------------------------------
     @property
@@ -183,7 +186,8 @@ class Simulation:
         import jax
 
         inner = int(self.fused_inner_steps)
-        key = ("fused", n_inner, inner, int(self.fused_block_cells))
+        key = ("fused", n_inner, inner, int(self.fused_block_cells),
+               int(self.fused_unroll))
         if key not in self._rollout_fns:
             from ..ops.fused_step import make_fused_lean_rollout
 
@@ -195,7 +199,8 @@ class Simulation:
             fused = make_fused_lean_rollout(
                 self.model, self.timestepper, self.ctx, self.input_sources,
                 dt=dt0, inner_steps=inner,
-                block_cells=int(self.fused_block_cells))
+                block_cells=int(self.fused_block_cells),
+                unroll=int(self.fused_unroll))
             jitted = jax.jit(lambda s: fused(s, n_inner))
 
             def wrapper(state, dt, _dt0=dt0, _fn=jitted):

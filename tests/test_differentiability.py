@@ -240,3 +240,46 @@ def test_grad_through_snowpack_parameter():
     # the pack stays positive)
     assert np.isclose(g, -6.0 * 5 * 300.0, rtol=1e-6), g
     assert np.isclose(g, fd, rtol=1e-6), (g, fd)
+
+
+def test_scanned_rollout_gradients_finite_with_frozen_saturated_cells():
+    """Round-3 regression (found by bench_configs config #6): a scanned
+    rollout propagates explicit ZERO cotangents through every carry leaf, so
+    any Inf partial in the step turns into 0*Inf = NaN — even when the loss
+    never reads that leaf (the direct, un-scanned step DCEs the path and
+    hides it). Two such Inf partials existed for f32 states:
+
+    * `VanGenuchten.inverse`'s upper clip `1 - 1e-12` rounds to 1.0 in f32,
+      so saturated cells evaluated sqrt(0) (Inf VJP);
+    * `UnsatKVanGenuchten` at se = 0 (fully-frozen cells: zero liquid
+      water) hit d(cbrt)/dse = d(sqrt)/dse = Inf.
+
+    The coupled model here has BOTH regimes: T=-1 C freezes the column
+    (liquid fraction 0) and the deep cells start saturated (sat = 1).
+    """
+    grid = tt.ColumnGrid.of(cells=8, spacing=tt.ExponentialSpacing(N=10),
+                            nf=np.float32)
+    props = tt.ConstantSoilHydraulics(
+        sat_hydraulic_cond=1e-5,
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+    sim = tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={
+            "temperature": -1.0,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0, 0.6 - 0.04 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+    assert float(np.max(np.asarray(sim.state.saturation_water_ice))) == 1.0
+
+    def loss(state):
+        roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
+                               steps=4, remat=True)
+        out = roll(state, 300.0)
+        return jnp.mean(out.temperature) + jnp.mean(out.saturation_water_ice)
+
+    g = jax.grad(loss, allow_int=True)(sim.state)
+    for key in ("internal_energy", "saturation_water_ice"):
+        assert np.all(np.isfinite(np.asarray(g.prognostic[key]))), key
