@@ -23,7 +23,7 @@ TIMEOUT_S = 900
 STEPS = 1440
 
 
-def child(block, inner, adjust=None):
+def child(block, inner, adjust=None, unroll=1):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -36,6 +36,10 @@ def child(block, inner, adjust=None):
         from terrarium_tpu.processes.soil import hydrology as H
 
         H.ADJUST_IMPL = adjust
+    if os.environ.get("TERRARIUM_FASTPOW") == "0":
+        from terrarium_tpu.ops import fastpow
+
+        fastpow.FAST_POW = False
 
     sim, cells = build_sim()
     dt = 60.0
@@ -46,7 +50,8 @@ def child(block, inner, adjust=None):
 
     fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
                                     sim.input_sources, dt=dt,
-                                    inner_steps=inner, block_cells=block)
+                                    inner_steps=inner, block_cells=block,
+                                    unroll=unroll)
     roll_f = jax.jit(lambda s: fused(s, STEPS))
     t0 = time.perf_counter()
     s = roll_f(sim.state)
@@ -82,7 +87,8 @@ def child(block, inner, adjust=None):
     medx = float(np.median(tx))
 
     print(json.dumps({
-        "block": block, "inner": inner, "adjust": adjust, "status": "ok",
+        "block": block, "inner": inner, "adjust": adjust, "unroll": unroll,
+        "fastpow": os.environ.get("TERRARIUM_FASTPOW", "1"), "status": "ok",
         "fused_M": round(cells * STEPS / med / 1e6, 1),
         "xla_M": round(cells * STEPS / medx / 1e6, 1),
         "speedup": round(medx / med, 3),
@@ -94,7 +100,8 @@ def child(block, inner, adjust=None):
 def main():
     if len(sys.argv) > 3 and sys.argv[1] == "child":
         child(int(sys.argv[2]), int(sys.argv[3]),
-              sys.argv[4] if len(sys.argv) > 4 else None)
+              sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None,
+              int(sys.argv[5]) if len(sys.argv) > 5 else 1)
         return
 
     grid_arg = sys.argv[1] if len(sys.argv) > 1 else "coarse"

@@ -22,6 +22,14 @@ __all__ = ["fast_pow"]
 
 FAST_POW = True
 
+#: Use the division-free Newton cbrt for third-roots inside Pallas kernel
+#: tracing (f32 only). MEASURED SLOWER on the axon chip and kept off: the
+#: VPU's hardware exp/log makes the pow fallback ~9% faster end-to-end than
+#: the ~15-op serial Newton chain, and Mosaic compile time jumped 5.9 s ->
+#: 301 s (experiments/ab_fused_rollout.py, fused lean rollout at block 512 /
+#: inner 144: pow-cbrt 450.9 vs Newton 409.9 M cells*steps/s in-process).
+NEWTON_CBRT = False
+
 _MAX_NUM = 12  # largest numerator expanded into multiplies
 
 
@@ -45,12 +53,13 @@ def _cbrt_newton_f32(x):
     seed + 3 Newton steps on ``r -> r(4 - x r^3)/3`` (r = x^(-1/3)), then
     ``cbrt = x r^2``. Max error ~4 ulp over [1e-12, 1e3]; exact at 0.
 
-    Exists for Pallas kernels: Mosaic has no cbrt lowering, and the ``x**p``
-    fallback costs exp+log on the VPU — ~10 multiplies here instead. The
-    seed sits behind `stop_gradient` (bitcasts have no JVP rule); AD through
-    the Newton iterations recovers the derivative to the same few-ulp
-    accuracy, and at x = 0 it is large-but-FINITE (no 0*Inf NaNs under
-    scanned-rollout zero cotangents)."""
+    Written for Pallas kernels (Mosaic has no cbrt lowering) but MEASURED
+    SLOWER than the exp/log pow fallback there — see ``NEWTON_CBRT`` above;
+    kept as a flag-gated variant. The seed sits behind `stop_gradient`
+    (bitcasts have no JVP rule); AD through the Newton iterations recovers
+    the derivative to the same few-ulp accuracy, and at x = 0 it is
+    large-but-FINITE (no 0*Inf NaNs under scanned-rollout zero
+    cotangents)."""
     import jax
 
     i = jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -72,8 +81,8 @@ def fast_pow(x, p):
         return x
     if FAST_POW:
         # Mosaic has no cbrt lowering — inside Pallas kernel tracing
-        # (signalled by force_concat_shifts) third-roots use the Newton
-        # form for f32 and fall back to pow otherwise.
+        # (signalled by force_concat_shifts) third-roots fall back to pow
+        # (measured FASTER than the Newton form there; see NEWTON_CBRT).
         from .vertical_ops import _FORCE_CONCAT
 
         for denom in (1, 2, 3):
@@ -86,9 +95,9 @@ def fast_pow(x, p):
                     root = jnp.sqrt(x)
                 elif not _FORCE_CONCAT:
                     root = jnp.cbrt(x)
-                elif jnp.result_type(x, 1.0) == jnp.float32:
+                elif NEWTON_CBRT and jnp.result_type(x, 1.0) == jnp.float32:
                     root = _cbrt_newton_f32(x)
                 else:
-                    continue  # f64 under Mosaic tracing: keep the pow
+                    continue  # Mosaic tracing: keep the pow
                 return _ipow(root, num)
     return x ** p

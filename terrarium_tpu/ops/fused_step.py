@@ -33,6 +33,29 @@ from ..grids.column import ColumnGrid
 __all__ = ["make_fused_step", "make_fused_lean_rollout"]
 
 
+#: Declare the cell-block grid dimension PARALLEL (Mosaic may split blocks
+#: across TensorCores on megacore parts). MEASURED NEUTRAL on the axon chip
+#: — fused/XLA ratio 1.098 vs 1.095 sequential, i.e. this part executes the
+#: kernel grid on one core either way — while Mosaic compile time grew
+#: 80 s -> 640 s. Default off; flip on for genuine megacore targets.
+PARALLEL_GRID = False
+
+
+def _parallel_grid_params():
+    """`compiler_params` for the fused kernels per ``PARALLEL_GRID`` (every
+    grid program reads/writes a disjoint cell block, so parallel semantics
+    are always legal here)."""
+    if not PARALLEL_GRID:
+        return {}
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        return dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL,)))
+    except Exception:  # non-TPU jaxlib: interpret path ignores it anyway
+        return {}
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -151,6 +174,7 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
+            **({} if interpret else _parallel_grid_params()),
         )(*arrays, *consts2d)
 
         new_leaves = []
@@ -335,6 +359,7 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
+            **({} if interpret else _parallel_grid_params()),
         )
 
         n_outer = n // inner_steps

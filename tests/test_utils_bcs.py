@@ -254,12 +254,14 @@ def test_fast_pow_shortcuts_and_fallback():
 
 
 def test_fast_pow_newton_cbrt_inside_pallas_tracing():
-    """Inside Pallas kernel tracing (the `force_concat_shifts` context),
-    third-roots lower to the division-free Newton cbrt for f32 (Mosaic has
-    no cbrt; exp/log pow costs ~2 transcendentals) and keep the exact pow
-    fallback for f64. Accuracy: ~4 ulp; exact 0 at 0; AD gives a finite
-    derivative everywhere (incl. x=0, where Inf would turn into 0*Inf NaN
-    under scanned-rollout zero cotangents)."""
+    """The flag-gated Newton cbrt (`fastpow.NEWTON_CBRT`, default off —
+    measured slower than the VPU's hardware exp/log pow on the axon chip):
+    inside Pallas kernel tracing (the `force_concat_shifts` context),
+    third-roots lower to the division-free Newton form for f32 and keep the
+    exact pow fallback for f64. Accuracy: ~4 ulp; exact 0 at 0; AD gives a
+    finite derivative everywhere (incl. x=0, where Inf would turn into
+    0*Inf NaN under scanned-rollout zero cotangents). With the flag off
+    (default) the Mosaic branch keeps the pow fallback bit-exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -269,15 +271,24 @@ def test_fast_pow_newton_cbrt_inside_pallas_tracing():
     x32 = jnp.asarray(
         np.concatenate([[0.0], np.logspace(-10, 2, 501)]), jnp.float32)
     with force_concat_shifts():
-        got = np.asarray(fastpow.fast_pow(x32, 2.0 / 3.0))
-        # f64 keeps the pow fallback bit-exactly
-        x64 = jnp.asarray(np.logspace(-10, 2, 101), jnp.float64)
+        # default: pow fallback inside Mosaic tracing, bit-exact
+        assert fastpow.NEWTON_CBRT is False
         np.testing.assert_array_equal(
-            np.asarray(fastpow.fast_pow(x64, 2.0 / 3.0)),
-            np.asarray(x64 ** (2.0 / 3.0)))
-        g = jax.grad(lambda v: fastpow.fast_pow(v, 2.0 / 3.0))
-        g0 = float(g(jnp.float32(0.0)))
-        g1 = float(g(jnp.float32(0.37)))
+            np.asarray(fastpow.fast_pow(x32, 2.0 / 3.0)),
+            np.asarray(x32 ** (2.0 / 3.0)))
+        try:
+            fastpow.NEWTON_CBRT = True
+            got = np.asarray(fastpow.fast_pow(x32, 2.0 / 3.0))
+            # f64 keeps the pow fallback bit-exactly
+            x64 = jnp.asarray(np.logspace(-10, 2, 101), jnp.float64)
+            np.testing.assert_array_equal(
+                np.asarray(fastpow.fast_pow(x64, 2.0 / 3.0)),
+                np.asarray(x64 ** (2.0 / 3.0)))
+            g = jax.grad(lambda v: fastpow.fast_pow(v, 2.0 / 3.0))
+            g0 = float(g(jnp.float32(0.0)))
+            g1 = float(g(jnp.float32(0.37)))
+        finally:
+            fastpow.NEWTON_CBRT = False
     exact = np.asarray(x32, np.float64) ** (2.0 / 3.0)
     rel = np.abs(got - exact) / np.maximum(exact, 1e-30)
     assert got[0] == 0.0
