@@ -33,6 +33,50 @@ from ..grids.column import ColumnGrid
 __all__ = ["make_fused_step", "make_fused_lean_rollout"]
 
 
+def _uniform_ts_meta(src):
+    """(t0, dt) of a uniformly-spaced time-series source, else None."""
+    times = np.asarray(src.times, dtype=np.float64)
+    if times.ndim != 1 or times.size < 2:
+        return None
+    d = np.diff(times)
+    if not np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+        return None
+    return float(times[0]), float(d[0])
+
+
+class _WindowSource:
+    """In-kernel stand-in for a uniform `TimeSeriesInputSource`: linear time
+    interpolation from a ``(W, block)`` window of the series, selected with
+    one-hot row masks (iota + compare + masked sum over sublanes) — no
+    gathers or dynamic slices, so it traces into a Mosaic kernel. Flat
+    extrapolation at the window ends matches the XLA-path source
+    (`io/input_sources.py:70-78`)."""
+
+    def __init__(self, names, windows, t_win0, dts):
+        self.names, self.windows = names, windows
+        self.t_win0, self.dts = t_win0, dts
+
+    def update_inputs(self, state):
+        updates = {}
+        for name, win in zip(self.names, self.windows):
+            like = state.inputs[name]
+            W = win.shape[0]
+            u = (state.clock.time - self.t_win0) / self.dts
+            u = jnp.clip(u, 0.0, float(W - 1))
+            r = jnp.floor(u)
+            w = (u - r).astype(win.dtype)
+            rows = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
+            ri = r.astype(jnp.int32)
+            v0 = jnp.sum(jnp.where(rows == ri, win, 0.0), axis=0)
+            # at the clamped top row the r+1 mask is empty and w == 0, so
+            # the v1 term vanishes exactly (flat extrapolation)
+            v1 = jnp.sum(jnp.where(rows == ri + 1, win, 0.0), axis=0)
+            val = (1.0 - w) * v0 + w * v1
+            updates[name] = jnp.broadcast_to(val.astype(like.dtype),
+                                             like.shape)
+        return state.update(updates)
+
+
 #: Declare the cell-block grid dimension PARALLEL (Mosaic may split blocks
 #: across TensorCores on megacore parts). MEASURED NEUTRAL on the axon chip
 #: — fused/XLA ratio 1.098 vs 1.095 sequential, i.e. this part executes the
@@ -229,16 +273,39 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
         # kernel runs through the Pallas interpreter, bit-identically
         interpret = jax.default_backend() != "tpu"
 
+    # time-varying sources: supported when uniformly spaced with XY series —
+    # each outer kernel invocation receives a (W, block) window of every
+    # series (sliced by XLA) and interpolates in-kernel (`_WindowSource`)
+    ts_sources, static_sources = [], []
     for src in input_sources:
-        if hasattr(src, "times"):
-            raise ValueError("fused rollout supports only static input sources")
+        if not hasattr(src, "times"):
+            static_sources.append(src)
+            continue
+        meta = _uniform_ts_meta(src)
+        if meta is None or any(np.ndim(v) > 2 for v in src.series.values()):
+            raise ValueError(
+                "fused rollout supports time-varying sources only with "
+                "uniform time spacing and (T, cells) series")
+        t0s, dts = meta
+        names = tuple(sorted(src.series))
+        T = int(np.asarray(src.times).shape[0])
+        W = min(T, int(np.ceil(inner_steps * dt / dts)) + 2)
+        ts_sources.append(dict(src=src, t0=t0s, dts=dts, names=names,
+                               T=T, W=W))
 
     block_grid = ColumnGrid(cells=block, vertical=grid.vertical, nf=grid.nf)
 
-    def step_fn(state, zc, zf, dz, dzf):
+    def step_fn(state, zc, zf, dz, dzf, *win_flat):
         g = block_grid.with_traced_coords(zc, zf, dz, dzf)
         m = _dc.replace(model, grid=g)
-        return timestepper.pre_closure_step(m, state, ctx, input_sources, dt)
+        sources = list(static_sources)
+        it = iter(win_flat)
+        for ts in ts_sources:
+            t_win0 = next(it)
+            wins = [next(it) for _ in ts["names"]]
+            sources.append(_WindowSource(ts["names"], wins, t_win0,
+                                         ts["dts"]))
+        return timestepper.pre_closure_step(m, state, ctx, tuple(sources), dt)
 
     coord_arrays = (grid.z_centers, grid.z_faces, grid.dz, grid.dz_faces)
 
@@ -255,11 +322,17 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             return leaf
         return jnp.pad(leaf, ((0, 0), (0, padded - leaf.shape[-1])), mode="edge")
 
-    def rollout(state, n: int):
+    def rollout(state, n: int, ts_srcs=None):
+        """``ts_srcs``: optional runtime pytree of the time-varying sources
+        (same order as at build time) so the (T, cells) series lower as jit
+        ARGUMENTS instead of HLO constants (170 MB+ at N145 coupled scale —
+        see io/input_sources.py on the remote-compile size limit)."""
         from .vertical_ops import force_concat_shifts
 
         if n % inner_steps != 0:
             raise ValueError(f"n={n} not a multiple of inner_steps={inner_steps}")
+        runtime_ts = ([d["src"] for d in ts_sources] if ts_srcs is None
+                      else list(ts_srcs))
 
         leaves, treedef = jax.tree_util.tree_flatten(state)
         ndims = [jnp.ndim(l) for l in leaves]
@@ -275,9 +348,22 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
         sample = jax.tree_util.tree_unflatten(treedef, samples)
         coord_samples = [jax.ShapeDtypeStruct(c.shape, c.dtype)
                          for c in coord_arrays]
+        # per-invocation forcing-window sample args: for each ts source a
+        # scalar window start time followed by one (W, block) array per var
+        win_samples, series_padded = [], []
+        for ts, rt in zip(ts_sources, runtime_ts):
+            win_samples.append(jax.ShapeDtypeStruct((), grid.nf))
+            for name in ts["names"]:
+                win_samples.append(
+                    jax.ShapeDtypeStruct((ts["W"], block), grid.nf))
+                arr = jnp.broadcast_to(
+                    jnp.asarray(rt.series[name], grid.nf),
+                    (ts["T"], cells))
+                series_padded.append(_pad(arr))
         with force_concat_shifts():
             converted, extra_consts = jax.closure_convert(step_fn, sample,
-                                                          *coord_samples)
+                                                          *coord_samples,
+                                                          *win_samples)
         consts = list(coord_arrays) + list(extra_consts)
         consts2d = [_to2d(c) for c in consts]
 
@@ -291,7 +377,8 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
         from jax.interpreters import partial_eval as pe
 
         with force_concat_shifts():
-            closed = jax.make_jaxpr(flat_step)(samples, *coord_samples)
+            closed = jax.make_jaxpr(flat_step)(samples, *coord_samples,
+                                               *win_samples)
         _, used = pe.dce_jaxpr(closed.jaxpr, [True] * len(closed.jaxpr.outvars))
         used_leaves = list(used)[:len(leaves)]
         live = [i for i, u in enumerate(used_leaves) if u]
@@ -305,15 +392,25 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             return pl.BlockSpec(a.shape, lambda i: (0, 0))
 
         cell_blocked = [ndims[i] >= 1 for i in live]
+
+        def win_spec(s):
+            if s.shape == ():
+                return pl.BlockSpec((1, 1), lambda i: (0, 0))
+            return pl.BlockSpec((s.shape[0], block), lambda i: (0, i))
+
         in_specs = ([spec_for(a, cb) for a, cb in zip(arrays, cell_blocked)]
-                    + [spec_for(c, False) for c in consts2d])
+                    + [spec_for(c, False) for c in consts2d]
+                    + [win_spec(s) for s in win_samples])
         out_specs = [spec_for(a, cb) for a, cb in zip(arrays, cell_blocked)]
         out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays]
+        n_coord = len(coord_arrays)
 
         def kernel(*refs):
             ins = refs[:n_live]
             const_refs = refs[n_live:n_live + len(consts2d)]
-            outs = refs[n_live + len(consts2d):]
+            win_refs = refs[n_live + len(consts2d):
+                            n_live + len(consts2d) + len(win_samples)]
+            outs = refs[n_live + len(consts2d) + len(win_samples):]
 
             def read(ref, nd):
                 val = ref[...]
@@ -325,6 +422,8 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
 
             const_vals = [read(cr, jnp.ndim(c))
                           for cr, c in zip(const_refs, consts)]
+            win_vals = [read(wr, len(s.shape))
+                        for wr, s in zip(win_refs, win_samples)]
             carry0 = [read(ins[k], ndims[live[k]]) for k in range(n_live)]
 
             def rebuild(carry):
@@ -339,7 +438,10 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
 
             def body(_, carry):
                 st = jax.tree_util.tree_unflatten(treedef, rebuild(carry))
-                out_st = converted(st, *const_vals)
+                # closure_convert appends its hoisted consts after the
+                # explicit args: (state, coords..., wins..., extras...)
+                out_st = converted(st, *const_vals[:n_coord], *win_vals,
+                                   *const_vals[n_coord:])
                 out_leaves = jax.tree_util.tree_leaves(out_st)
                 return [out_leaves[i] for i in live]
 
@@ -363,13 +465,35 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
         )
 
         n_outer = n // inner_steps
-        if n_outer > 1:
-            def outer_body(arrs, _):
-                return list(fused_block(*arrs, *consts2d)), None
+        t_init = state.clock.time  # traced initial time for window selection
 
-            arrays, _ = jax.lax.scan(outer_body, arrays, None, length=n_outer)
+        def window_ops(j):
+            """Forcing-window operands for outer iteration ``j``: per ts
+            source a (1,1) window start time + XLA-sliced (W, padded) series
+            rows covering [t_base, t_base + inner*dt]."""
+            ops = []
+            si = iter(series_padded)
+            t_base = t_init + (j * inner_steps) * dt
+            for ts in ts_sources:
+                i0f = jnp.floor((t_base - ts["t0"]) / ts["dts"])
+                i0 = jnp.clip(i0f.astype(jnp.int32), 0, ts["T"] - ts["W"])
+                t_win0 = (jnp.asarray(ts["t0"], grid.nf)
+                          + i0.astype(grid.nf) * jnp.asarray(ts["dts"], grid.nf))
+                ops.append(jnp.reshape(t_win0, (1, 1)))
+                for _ in ts["names"]:
+                    ops.append(jax.lax.dynamic_slice_in_dim(
+                        next(si), i0, ts["W"], axis=0))
+            return ops
+
+        if n_outer > 1:
+            def outer_body(arrs, j):
+                return list(fused_block(*arrs, *consts2d,
+                                        *window_ops(j))), None
+
+            arrays, _ = jax.lax.scan(outer_body, arrays,
+                                     jnp.arange(n_outer, dtype=jnp.int32))
         else:
-            arrays = list(fused_block(*arrays, *consts2d))
+            arrays = list(fused_block(*arrays, *consts2d, *window_ops(0)))
 
         # rebuild full state: live leaves from the kernel, dead leaves zero
         new_leaves = []

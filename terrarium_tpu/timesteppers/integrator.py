@@ -201,13 +201,17 @@ class Simulation:
                 dt=dt0, inner_steps=inner,
                 block_cells=int(self.fused_block_cells),
                 unroll=int(self.fused_unroll))
-            jitted = jax.jit(lambda s: fused(s, n_inner))
+            # time-varying sources enter as pytree ARGUMENTS so the
+            # (T, cells) series lower as jit parameters, not HLO constants
+            jitted = jax.jit(lambda s, ts: fused(s, n_inner, ts))
 
             def wrapper(state, dt, _dt0=dt0, _fn=jitted):
                 if float(dt) != float(_dt0):
                     raise ValueError(
                         f"fused rollout baked dt={_dt0}, got {dt}")
-                return _fn(state)
+                ts = tuple(s for s in self.input_sources
+                           if hasattr(s, "times"))
+                return _fn(state, ts)
 
             self._rollout_fns[key] = wrapper
         return self._rollout_fns[key]

@@ -79,3 +79,120 @@ def test_fused_lean_rollout_matches_lean_rollout():
                                       np.asarray(s_ref[name]), err_msg=name)
     assert float(s_fus.clock.time) == float(s_ref.clock.time)
     assert int(s_fus.clock.iteration) == int(s_ref.clock.iteration)
+
+
+def test_fused_lean_rollout_with_time_varying_forcing():
+    """Round-3 capability: uniformly-spaced `TimeSeriesInputSource` forcing
+    inside the fused rollout. Each outer kernel invocation receives an XLA-
+    sliced (W, block) window of every series; the kernel interpolates with
+    one-hot row masks (`fused_step._WindowSource` — no gathers). Must match
+    the XLA lean rollout, which interpolates with searchsorted on the full
+    series, to float tolerance across a window boundary AND past the end of
+    the series (flat extrapolation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells, nz = 96, 12
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                   hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+    # hourly forcing covering only part of the rollout (tests extrapolation)
+    hours = np.arange(0.0, 5 * 3600.0, 3600.0)
+    rng = np.random.default_rng(7)
+    ts = (5.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)
+          + rng.normal(0, 0.5, (hours.size, cells))).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=900.0),
+        initializers={"temperature": lambda x, z: 1.0 + 0.0 * z,
+                      "saturation_water_ice":
+                          lambda x, z: np.minimum(1.0, 0.5 - 0.05 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(forcing,),
+    )
+    n = 32  # 8 h at dt=900 -> crosses window boundaries and the series end
+    s_ref = sim._rollout_fn(n)(sim.state, 900.0)
+
+    fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                    sim.input_sources, dt=900.0,
+                                    inner_steps=8, block_cells=64,
+                                    interpret=True)
+    s_fus = jax.jit(lambda s: fused(s, n))(sim.state)
+
+    for name in ("internal_energy", "saturation_water_ice",
+                 "surface_excess_water"):
+        np.testing.assert_allclose(
+            np.asarray(s_fus.prognostic[name]),
+            np.asarray(s_ref.prognostic[name]), rtol=2e-5, atol=1e-6,
+            err_msg=name)
+    assert float(s_fus.clock.time) == float(s_ref.clock.time)
+
+
+def test_fused_lean_rollout_rejects_nonuniform_forcing():
+    import pytest
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    grid = tt.ColumnGrid.of(cells=8, spacing=tt.ExponentialSpacing(N=4),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    forcing = tt.TimeSeriesInputSource(
+        times=np.array([0.0, 3600.0, 5000.0]),
+        series={"surface_temperature": np.zeros((3, 8), np.float32)})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=300.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(forcing,),
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                sim.input_sources, dt=300.0, inner_steps=4,
+                                block_cells=8, interpret=True)
+
+
+def test_simulation_fused_path_with_forcing():
+    """`Simulation.fused_inner_steps` drives rollouts through the fused
+    kernel (interpret mode on CPU), with time-varying sources passed as jit
+    pytree ARGUMENTS (not HLO constants); results match the XLA path."""
+    cells = 64
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    hours = np.arange(0.0, 48 * 3600.0, 3600.0)
+    ts = (4.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)
+          * np.ones((1, cells))).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+
+    def build():
+        return tt.initialize(
+            model, tt.ForwardEuler(dt=900.0),
+            initializers={"temperature": -1.0, "saturation_water_ice": 0.8},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(
+                "surface_temperature"),
+            input_sources=(forcing,),
+        )
+
+    sim_x = build()
+    sim_x.run(period=12 * 3600.0, dt=900.0)
+
+    sim_f = build()
+    sim_f.fused_inner_steps, sim_f.fused_block_cells = 16, 64
+    sim_f.run(period=12 * 3600.0, dt=900.0)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_f.state.temperature),
+        np.asarray(sim_x.state.temperature), rtol=2e-5, atol=1e-6)
+    assert float(sim_f.state.clock.time) == float(sim_x.state.clock.time)
