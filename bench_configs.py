@@ -50,6 +50,25 @@ def _time_blocks(roll, state, dt, sync_leaf, reps=5):
     return float(np.median(times)), compile_s, state
 
 
+def _best_of_fused(sim, steps, dt, med_xla, inner=144, block=512):
+    """Try the fused Pallas rollout back-to-back in this process; return
+    (median_s, path) for the better of the two. Any failure (unsupported
+    sources, Mosaic limits) leaves the XLA number standing."""
+    try:
+        sim.fused_inner_steps, sim.fused_block_cells = inner, block
+        roll = sim._rollout_fn(steps)
+        med_f, _, _ = _time_blocks(roll, sim.state, dt,
+                                   lambda s: s.prognostic["internal_energy"],
+                                   reps=3)
+        if med_f < med_xla:
+            return med_f, f"pallas_fused_{block}x{inner}"
+    except Exception:
+        pass
+    finally:
+        sim.fused_inner_steps = None
+    return med_xla, "xla_lean_scan"
+
+
 def _emit(name, cells, steps, med_s, compile_s, dt, extra=None):
     rec = {
         "config": name,
@@ -152,8 +171,9 @@ def config3_global_heat_n72(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 300.0,
                                 lambda s: s.prognostic["internal_energy"])
+    med, path = _best_of_fused(sim, steps, 300.0, med)
     _emit("global_heat_n72_forcing", grid.cells, steps, med, comp, 300.0,
-          {"land_cells": int(grid.n_land)})
+          {"land_cells": int(grid.n_land), "rollout_path": path})
 
 
 def config4_land_coupled_n145(tt):
@@ -190,8 +210,9 @@ def config4_land_coupled_n145(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 600.0,
                                 lambda s: s.prognostic["internal_energy"])
+    med, path = _best_of_fused(sim, steps, 600.0, med)
     _emit("land_coupled_n145", grid.cells, steps, med, comp, 600.0,
-          {"land_cells": int(grid.n_land), "nz": 20})
+          {"land_cells": int(grid.n_land), "nz": 20, "rollout_path": path})
 
 
 def config5_grad_n145(tt):
@@ -332,8 +353,10 @@ def config7_heun_n145(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 60.0,
                                 lambda s: s.prognostic["internal_energy"])
+    # Heun's in-kernel body is 2 stages -> halve inner_steps for compile
+    med, path = _best_of_fused(sim, steps, 60.0, med, inner=72)
     _emit("heun_n145_heat_richards_forcing", cells, steps, med, comp, 60.0,
-          {"stages_per_step": 2})
+          {"stages_per_step": 2, "rollout_path": path})
 
 
 CONFIGS = {

@@ -196,3 +196,58 @@ def test_simulation_fused_path_with_forcing():
         np.asarray(sim_f.state.temperature),
         np.asarray(sim_x.state.temperature), rtol=2e-5, atol=1e-6)
     assert float(sim_f.state.clock.time) == float(sim_x.state.clock.time)
+
+
+def test_fused_lean_rollout_coupled_land_model():
+    """The fused kernel traces the FULL coupled LandModel (SEB implicit
+    skin-T + surface hydrology + PALADYN vegetation + Richards soil) with
+    mixed static + time-varying forcing; prognostics match the XLA lean
+    rollout. Uses the stable `consistent_units` vegetation configuration
+    (the parity-default per-year rate quirk diverges by design — README
+    deviations; test_parity_robustness.py pins that)."""
+    import jax
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells = 64
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float32)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()),
+    )
+    model = tt.LandModel(grid=grid,
+                         vegetation=tt.VegetationCarbon.consistent_units(),
+                         soil=soil)
+    hours = np.arange(0.0, 48 * 3600.0, 3600.0)
+    day = hours / 86400.0
+    sw = (800.0 * np.maximum(0.0, np.sin(2 * np.pi * (day[:, None] - 0.25)))
+          * np.ones((1, cells))).astype(np.float32)
+    ta = ((12.0 + 6.0 * np.sin(2 * np.pi * (day[:, None] - 0.3)))
+          * np.ones((1, cells))).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(
+        times=hours, series={"surface_shortwave_down": sw,
+                             "air_temperature": ta})
+    static = tt.FieldInputSource(fields={"surface_longwave_down": 330.0,
+                                         "rainfall": 4.0e-8,
+                                         "windspeed": 3.0,
+                                         "specific_humidity": 0.006})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=600.0),
+        initializers={"temperature": 8.0, "saturation_water_ice": 0.6,
+                      "carbon_vegetation": 2.0,
+                      "vegetation_area_fraction": 0.5},
+        input_sources=(forcing, static))
+
+    n = 12
+    s_ref = sim._rollout_fn(n)(sim.state, 600.0)
+    fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                    sim.input_sources, dt=600.0,
+                                    inner_steps=4, block_cells=64,
+                                    interpret=True)
+    s_fus = jax.jit(lambda s: fused(s, n))(sim.state)
+    for name in sorted(s_ref.prognostic):
+        a = np.asarray(s_fus.prognostic[name])
+        b = np.asarray(s_ref.prognostic[name])
+        assert np.all(np.isfinite(b)), f"reference not finite: {name}"
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7, err_msg=name)
