@@ -22,7 +22,11 @@ inner 144):
 
 => the trigger is in the SURFACE HYDROLOGY trace (bare-ground ET +
 DirectSurfaceRunoff + the ET-sink/infiltration coupling), not vegetation,
-not the SEB, not the BC machinery, not the ring grid. The interpret-mode
+not the SEB, not the BC machinery, not the ring grid. Rewriting the one
+float-by-bool multiply (`infil * unsaturated` -> `where`) did NOT resolve
+it, so the bad layout comes from something subtler in this combination
+(candidates: the SEB ground-temperature top-row view feeding XY math, or
+the ET sink row-mask interaction). The interpret-mode
 Pallas path runs the identical trace bit-correctly
 (tests/test_fused_step.py::test_fused_lean_rollout_coupled_land_model), so
 this is a Mosaic layout-inference bug, not a tracing bug. `Simulation`

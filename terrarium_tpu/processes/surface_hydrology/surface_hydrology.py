@@ -310,7 +310,11 @@ class DirectSurfaceRunoff:
         has_excess = S > 0.0
         drainage = jnp.where(has_excess, self.surface_drainage(S), 0.0)
         influx = jnp.where(has_excess, drainage, rain)
-        infil = jnp.minimum(influx, k_unsat) * unsaturated
+        # `where`, not `* unsaturated`: float-by-bool multiplies are a known
+        # Mosaic layout-inference hazard on rank-1 masks (ruled out as the
+        # sole trigger of the LandModel kernel crash, but kept — see
+        # experiments/mosaic_land_repro.py); bit-identical either way
+        infil = jnp.where(unsaturated, jnp.minimum(influx, k_unsat), 0.0)
         runoff = rain + drainage - infil
         return state.update(infiltration=infil, surface_runoff=runoff)
 
