@@ -92,15 +92,22 @@ def _assemble_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
     # Dirichlet phi BCs: ghost = 2*value - interior => extra 2*K*D/(dzf*dz)
     bc_bot = get_bc(bcs, terms.phi_var, "bottom")
     bc_top = get_bc(bcs, terms.phi_var, "top")
+    # static slices + reshape, not `dzf[0, 0]` int indexing: jnp integer
+    # indexing emits `dynamic_slice`, which Pallas TPU cannot lower (the
+    # fused implicit rollout traces this assembly into a Mosaic kernel)
     if isinstance(bc_bot, Dirichlet):
         sb = s if jnp.ndim(s) == 0 else s[:1]
+        dzf0 = jnp.reshape(dzf[:1, :1], ())
+        dz0 = jnp.reshape(dz[:1, :1], ())
         b = b + jnp.where(_row_mask(b.shape, 0),
-                          2.0 * sb * Kf[:1] * D[:1] / (dzf[0, 0] * dz[0, 0]),
+                          2.0 * sb * Kf[:1] * D[:1] / (dzf0 * dz0),
                           zero)
     if isinstance(bc_top, Dirichlet):
         st = s if jnp.ndim(s) == 0 else s[-1:]
+        dzfN = jnp.reshape(dzf[-1:, :1], ())
+        dzN = jnp.reshape(dz[-1:, :1], ())
         b = b + jnp.where(_row_mask(b.shape, -1),
-                          2.0 * st * Kf[-1:] * D[-1:] / (dzf[-1, 0] * dz[-1, 0]),
+                          2.0 * st * Kf[-1:] * D[-1:] / (dzfN * dzN),
                           zero)
 
     return a, b, c, state.tendencies[terms.var]
