@@ -14,9 +14,10 @@ cannot diverge. Fusability requirements, all met by the shipped physics: no
 dynamic gathers (water table uses the masked-min form), z-scans with
 ``unroll``/``reverse=`` instead of array flips, static shapes.
 
-Limitations: static input sources only (time-varying forcing belongs outside
-the fused rollout), and laterally-independent physics (always true for this
-model family).
+Limitations: `make_fused_step` supports static input sources only;
+`make_fused_lean_rollout` additionally supports uniformly-spaced time-series
+sources via in-kernel window interpolation (`_WindowSource`). Both require
+laterally-independent physics (always true for this model family).
 """
 from __future__ import annotations
 
@@ -276,35 +277,45 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
     # time-varying sources: supported when uniformly spaced with XY series —
     # each outer kernel invocation receives a (W, block) window of every
     # series (sliced by XLA) and interpolates in-kernel (`_WindowSource`)
-    ts_sources, static_sources = [], []
+    # `source_slots` preserves the user's source order (update_inputs is
+    # last-wins per variable, so the fused path must apply sources in the
+    # same order as the XLA path); `ts_sources` is the time-varying subset
+    # in that same relative order (matches the win_flat operand order).
+    ts_sources, static_sources, source_slots = [], [], []
     for src in input_sources:
         if not hasattr(src, "times"):
             static_sources.append(src)
+            source_slots.append(("static", src))
             continue
         meta = _uniform_ts_meta(src)
-        if meta is None or any(np.ndim(v) > 2 for v in src.series.values()):
+        if meta is None or any(np.ndim(v) not in (1, 2)
+                               for v in src.series.values()):
             raise ValueError(
                 "fused rollout supports time-varying sources only with "
-                "uniform time spacing and (T, cells) series")
+                "uniform time spacing and (T,) or (T, cells) series")
         t0s, dts = meta
         names = tuple(sorted(src.series))
         T = int(np.asarray(src.times).shape[0])
         W = min(T, int(np.ceil(inner_steps * dt / dts)) + 2)
-        ts_sources.append(dict(src=src, t0=t0s, dts=dts, names=names,
-                               T=T, W=W))
+        ts = dict(src=src, t0=t0s, dts=dts, names=names, T=T, W=W)
+        ts_sources.append(ts)
+        source_slots.append(("ts", ts))
 
     block_grid = ColumnGrid(cells=block, vertical=grid.vertical, nf=grid.nf)
 
     def step_fn(state, zc, zf, dz, dzf, *win_flat):
         g = block_grid.with_traced_coords(zc, zf, dz, dzf)
         m = _dc.replace(model, grid=g)
-        sources = list(static_sources)
         it = iter(win_flat)
-        for ts in ts_sources:
-            t_win0 = next(it)
-            wins = [next(it) for _ in ts["names"]]
-            sources.append(_WindowSource(ts["names"], wins, t_win0,
-                                         ts["dts"]))
+        sources = []
+        for kind, payload in source_slots:
+            if kind == "static":
+                sources.append(payload)
+            else:
+                t_win0 = next(it)
+                wins = [next(it) for _ in payload["names"]]
+                sources.append(_WindowSource(payload["names"], wins, t_win0,
+                                             payload["dts"]))
         return timestepper.pre_closure_step(m, state, ctx, tuple(sources), dt)
 
     coord_arrays = (grid.z_centers, grid.z_faces, grid.dz, grid.dz_faces)
@@ -333,6 +344,24 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             raise ValueError(f"n={n} not a multiple of inner_steps={inner_steps}")
         runtime_ts = ([d["src"] for d in ts_sources] if ts_srcs is None
                       else list(ts_srcs))
+        # only series VALUES may differ at runtime: t0/dts/T/W are baked
+        # into the kernel at build time, so silently-shifted time axes
+        # would interpolate against stale metadata
+        for ts, rt in zip(ts_sources, runtime_ts):
+            bt_times = np.asarray(ts["src"].times, dtype=np.float64)
+            if np.shape(rt.times) != bt_times.shape:
+                raise ValueError(
+                    "runtime ts_srcs times differ in shape from the "
+                    "build-time sources; only series values may be "
+                    "overridden")
+            try:  # traced times (jit args) can only be shape-checked
+                rt_times = np.asarray(rt.times, dtype=np.float64)
+            except Exception:
+                continue
+            if not np.allclose(rt_times, bt_times, rtol=1e-6, atol=0.0):
+                raise ValueError(
+                    "runtime ts_srcs times differ from the build-time "
+                    "sources; only series values may be overridden")
 
         leaves, treedef = jax.tree_util.tree_flatten(state)
         ndims = [jnp.ndim(l) for l in leaves]
@@ -356,9 +385,10 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             for name in ts["names"]:
                 win_samples.append(
                     jax.ShapeDtypeStruct((ts["W"], block), grid.nf))
-                arr = jnp.broadcast_to(
-                    jnp.asarray(rt.series[name], grid.nf),
-                    (ts["T"], cells))
+                arr = jnp.asarray(rt.series[name], grid.nf)
+                if arr.ndim == 1:  # (T,) scalar series: broadcast over cells
+                    arr = arr[:, None]
+                arr = jnp.broadcast_to(arr, (ts["T"], cells))
                 series_padded.append(_pad(arr))
         with force_concat_shifts():
             converted, extra_consts = jax.closure_convert(step_fn, sample,

@@ -251,3 +251,79 @@ def test_fused_lean_rollout_coupled_land_model():
         b = np.asarray(s_ref.prognostic[name])
         assert np.all(np.isfinite(b)), f"reference not finite: {name}"
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7, err_msg=name)
+
+
+def test_fused_lean_rollout_scalar_time_series():
+    """(T,) scalar series (supported by the XLA path, which broadcasts the
+    interpolated scalar) must also work through the fused rollout — and in
+    particular must NOT be mis-broadcast along cells when T == cells
+    (ADVICE r3: a (T,) series hit trailing-dim broadcasting, wrong or
+    failing depending on shape coincidence)."""
+    import jax
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells, nz = 16, 8  # T == cells below: the dangerous coincidence
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    hours = np.arange(0.0, 16 * 3600.0, 3600.0)
+    ts = (5.0 + 4.0 * np.sin(2 * np.pi * hours / 86400.0)).astype(np.float32)
+    assert ts.ndim == 1 and ts.size == cells
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=900.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(forcing,),
+    )
+    n = 16
+    s_ref = sim._rollout_fn(n)(sim.state, 900.0)
+    fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                    sim.input_sources, dt=900.0,
+                                    inner_steps=4, block_cells=16,
+                                    interpret=True)
+    s_fus = jax.jit(lambda s: fused(s, n))(sim.state)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.prognostic["internal_energy"]),
+        np.asarray(s_ref.prognostic["internal_energy"]), rtol=2e-5, atol=1e-6)
+
+
+def test_fused_lean_rollout_preserves_source_order():
+    """Static + time-series sources providing the SAME input variable:
+    update_inputs is last-wins per variable, so the fused path must apply
+    sources in the user's order (ADVICE r3: window stand-ins were appended
+    after all static sources regardless of original order)."""
+    import jax
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells, nz = 16, 8
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    hours = np.arange(0.0, 16 * 3600.0, 3600.0)
+    ts = np.full((hours.size, cells), 2.0, np.float32)
+    forcing = tt.TimeSeriesInputSource(times=hours,
+                                       series={"surface_temperature": ts})
+    # the STATIC source comes AFTER the ts source, so it must win
+    static = tt.FieldInputSource(fields={"surface_temperature": 7.0})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=900.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(forcing, static),
+    )
+    n = 8
+    s_ref = sim._rollout_fn(n)(sim.state, 900.0)
+    fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                    sim.input_sources, dt=900.0,
+                                    inner_steps=4, block_cells=16,
+                                    interpret=True)
+    s_fus = jax.jit(lambda s: fused(s, n))(sim.state)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.prognostic["internal_energy"]),
+        np.asarray(s_ref.prognostic["internal_energy"]), rtol=2e-5, atol=1e-6)
