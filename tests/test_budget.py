@@ -1,0 +1,146 @@
+"""Column budget diagnostics (`diagnostics/budget.py`).
+
+The reference's Integral-based conservation checks
+(`test/soil/soil_hydrology_tests.jl:93-123`) as standing capability: the
+itemized exchange rates must reproduce the inventory changes the steppers
+actually apply — exactly (float tolerance) for ForwardEuler at one-step
+sampling, since the explicit update applies rate(t_k)*dt verbatim and the
+interior transport telescopes to the boundary faces.
+"""
+import numpy as np
+import pytest
+
+import terrarium_tpu as tt
+from terrarium_tpu.diagnostics.budget import (BudgetTracker, energy_column,
+                                              energy_rates, water_column,
+                                              water_rates)
+from terrarium_tpu.ops.bcs import Flux
+from terrarium_tpu.timesteppers.stepping import update_state
+
+
+def _rates_state(sim):
+    """Auxiliaries exactly as the next step will see them (see
+    BudgetTracker._rates on non-idempotent compute_auxiliary)."""
+    return update_state(sim.model, sim.state, sim.ctx, sim.input_sources)
+
+
+def _soil_sim(cells=24, nz=12, richards=True, dirichlet=True):
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    hyd = tt.SoilHydrology(vertical_flow=tt.RichardsEq() if richards else None,
+                           hydraulic_properties=props)
+    soil = tt.SoilEnergyWaterCarbon(hydrology=hyd)
+    model = tt.SoilModel(grid=grid, soil=soil)
+    bcs = tt.PrescribedSurfaceTemperature(8.0) if dirichlet else None
+    if richards:
+        bcs = tt.merge_boundary_conditions(
+            bcs or {}, {"saturation_water_ice": {"top": Flux(-2.0e-8)}})
+    rng = np.random.default_rng(3)
+    sat0 = 0.45 + 0.2 * rng.random((nz, cells))
+    return tt.initialize(
+        model, tt.ForwardEuler(dt=300.0),
+        initializers={"temperature": lambda x, z: 4.0 + 0.2 * z,
+                      "saturation_water_ice": sat0},
+        boundary_conditions=bcs)
+
+
+def test_energy_budget_exact_one_step():
+    """One ForwardEuler step: the energy inventory change equals the
+    itemized boundary rates at the pre-step state times dt, exactly (f64).
+    Telescoping: sum_k(-div q)*dz == q_bot - q_top."""
+    sim = _soil_sim(richards=False)
+    grid, model, ctx = sim.model.grid, sim.model, sim.ctx
+    s0 = sim.state
+    e0 = energy_column(s0, grid, model)["total"]
+    r0 = energy_rates(_rates_state(sim), grid, model, ctx)["net"]
+    dt = 300.0
+    s1 = sim.step_fn(s0, dt)
+    e1 = energy_column(s1, grid, model)["total"]
+    np.testing.assert_allclose(np.asarray(e1 - e0), np.asarray(r0 * dt),
+                               rtol=1e-9, atol=1e-4)
+
+
+def test_water_budget_exact_one_step():
+    """One step of heat+Richards: total water inventory (soil + pool) change
+    equals the itemized rates * dt while the saturation adjustment is
+    inactive (moderate saturations)."""
+    sim = _soil_sim(richards=True)
+    grid, model, ctx = sim.model.grid, sim.model, sim.ctx
+    s0 = sim.state
+    w0 = water_column(s0, grid, model)["total"]
+    r0 = water_rates(_rates_state(sim), grid, model, ctx)["net"]
+    dt = 300.0
+    s1 = sim.step_fn(s0, dt)
+    w1 = water_column(s1, grid, model)["total"]
+    np.testing.assert_allclose(np.asarray(w1 - w0), np.asarray(r0 * dt),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_tracker_left_rule_exact_over_run():
+    """BudgetTracker with rule='left' at one-step callback spacing closes
+    both budgets to float tolerance over a 40-step run."""
+    sim = _soil_sim(richards=True)
+    tracker = BudgetTracker.start(sim, rule="left")
+    sim.run(steps=40, dt=300.0, callbacks=[tracker], callback_interval=1)
+    rep = tracker.report(sim)
+    assert rep["energy"]["relative_residual"] < 1e-9, rep["energy"]
+    assert rep["water"]["relative_residual"] < 1e-9, rep["water"]
+
+
+def test_tracker_trapezoid_close_at_coarse_sampling():
+    """Trapezoid sampling every 10 steps closes the budgets of a smoothly
+    varying run (past the init transient) to a documented tolerance. The
+    quadrature error is O(interval·dt·drate/dt), so rapidly-decaying
+    transients need tighter sampling (or rule='left' at interval 1)."""
+    sim = _soil_sim(richards=True)
+    sim.run(steps=100, dt=300.0)  # let the random-profile transient decay
+    tracker = BudgetTracker.start(sim)
+    sim.run(steps=60, dt=300.0, callbacks=[tracker], callback_interval=10)
+    rep = tracker.report(sim)
+    assert rep["energy"]["relative_residual"] < 2e-2, rep["energy"]
+    assert rep["water"]["relative_residual"] < 2e-2, rep["water"]
+
+
+def test_land_model_budget_items_and_flux_bcs():
+    """Coupled LandModel (bare ground, consistent modes): the water budget
+    accounts the infiltration BC (times top porosity — the reference's
+    unrescaled-BC quirk, see module docstring), ET, and the pool drainage;
+    one ForwardEuler step closes against the itemized rates."""
+    grid = tt.ColumnGrid.of(cells=16, spacing=tt.ExponentialSpacing(N=10),
+                            nf=np.float64)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+    from terrarium_tpu.processes.surface_hydrology.surface_hydrology import (
+        BareGroundEvaporation, DirectSurfaceRunoff, NoCanopyInterception,
+        SurfaceHydrology)
+
+    sh = SurfaceHydrology(canopy_interception=NoCanopyInterception(),
+                          evapotranspiration=BareGroundEvaporation.consistent_units(),
+                          surface_runoff=DirectSurfaceRunoff.consistent())
+    model = tt.LandModel(grid=grid, vegetation=None, soil=soil,
+                         surface_hydrology=sh)
+    static = tt.FieldInputSource(fields={
+        "surface_longwave_down": 330.0, "rainfall": 4.0e-8, "windspeed": 3.0,
+        "surface_shortwave_down": 300.0, "air_temperature": 10.0})
+    sim = tt.initialize(model, tt.ForwardEuler(dt=600.0),
+                        initializers={"temperature": 5.0,
+                                      "saturation_water_ice": 0.6,
+                                      "surface_excess_water": 1e-4},
+                        input_sources=(static,))
+    s0 = sim.state
+    rates = water_rates(_rates_state(sim), grid, model, sim.ctx)
+    # infiltration BC accounted with the porosity scale; ET negative (sink)
+    assert float(np.max(np.asarray(rates["bc_top_water"]))) > 0.0
+    assert float(np.max(np.asarray(rates["et"]))) < 0.0
+    assert float(np.max(np.asarray(rates["pool"]))) < 0.0  # consistent sign
+    w0 = water_column(s0, grid, model)["total"]
+    dt = 600.0
+    s1 = sim.step_fn(s0, dt)
+    w1 = water_column(s1, grid, model)["total"]
+    np.testing.assert_allclose(np.asarray(w1 - w0),
+                               np.asarray(rates["net"] * dt),
+                               rtol=1e-9, atol=1e-12)
