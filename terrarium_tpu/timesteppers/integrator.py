@@ -89,6 +89,14 @@ class Simulation:
         #: in-kernel step-loop unroll of the fused kernel (cross-step code
         #: motion for Mosaic; raises compile time).
         self.fused_unroll = 1
+        #: optional `jax.sharding.Mesh`: when set, the fused rollout runs
+        #: inside `jax.shard_map` over the cells axis (each device executes
+        #: its own kernel grid on its local shard — a bare pallas_call under
+        #: sharded operands would gather; see
+        #: `parallel.sharding.make_sharded_fused_rollout`). The state and
+        #: time-series sources must be placed with `shard_state` /
+        #: `shard_sources` on the same mesh.
+        self.mesh = None
 
     # -- compiled step ----------------------------------------------------
     @property
@@ -187,20 +195,30 @@ class Simulation:
 
         inner = int(self.fused_inner_steps)
         key = ("fused", n_inner, inner, int(self.fused_block_cells),
-               int(self.fused_unroll))
+               int(self.fused_unroll), id(self.mesh))
         if key not in self._rollout_fns:
-            from ..ops.fused_step import make_fused_lean_rollout
-
             if n_inner % inner != 0:
                 raise ValueError(
                     f"rollout length {n_inner} must be a multiple of "
                     f"fused_inner_steps={inner}")
             dt0 = self.timestepper.default_dt()
-            fused = make_fused_lean_rollout(
-                self.model, self.timestepper, self.ctx, self.input_sources,
-                dt=dt0, inner_steps=inner,
-                block_cells=int(self.fused_block_cells),
-                unroll=int(self.fused_unroll))
+            if self.mesh is not None:
+                from ..parallel.sharding import make_sharded_fused_rollout
+
+                fused = make_sharded_fused_rollout(
+                    self.model, self.timestepper, self.ctx,
+                    self.input_sources, mesh=self.mesh, dt=dt0,
+                    inner_steps=inner,
+                    block_cells=int(self.fused_block_cells),
+                    unroll=int(self.fused_unroll))
+            else:
+                from ..ops.fused_step import make_fused_lean_rollout
+
+                fused = make_fused_lean_rollout(
+                    self.model, self.timestepper, self.ctx,
+                    self.input_sources, dt=dt0, inner_steps=inner,
+                    block_cells=int(self.fused_block_cells),
+                    unroll=int(self.fused_unroll))
             # time-varying sources enter as pytree ARGUMENTS so the
             # (T, cells) series lower as jit parameters, not HLO constants
             jitted = jax.jit(lambda s, ts: fused(s, n_inner, ts))

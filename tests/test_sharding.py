@@ -215,3 +215,77 @@ def test_sharded_time_varying_forcing():
     # forcing actually varied in time and space
     T = np.asarray(out_sharded.inputs["air_temperature"])
     assert T.std() > 1.0
+
+
+def test_fused_rollout_under_mesh_bit_identical():
+    """VERDICT r3 item 5: the fused lean Pallas rollout under the device
+    mesh. `make_sharded_fused_rollout` runs the kernel inside shard_map
+    (a bare pallas_call under sharded operands would gather); results must
+    be bit-identical to the unsharded fused rollout, outputs stay
+    cells-sharded, and the compiled sharded HLO contains no collectives."""
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+    from terrarium_tpu.parallel.sharding import make_sharded_fused_rollout
+
+    cells, nz, n = 128, 8, 16
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    times = np.arange(0.0, 16 * 3600.0, 3600.0)
+    per_cell = np.linspace(-2.0, 12.0, cells)[None, :]
+    series = (per_cell + 6.0 * np.sin(2 * np.pi * times / 86400.0)[:, None]
+              ).astype(np.float32)
+    src = tt.TimeSeriesInputSource(times=times,
+                                   series={"surface_temperature": series})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=900.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(src,))
+
+    fused_single = make_fused_lean_rollout(
+        sim.model, sim.timestepper, sim.ctx, sim.input_sources,
+        dt=900.0, inner_steps=4, block_cells=16, interpret=True)
+    out_single = jax.jit(lambda s: fused_single(s, n))(sim.state)
+
+    mesh = cell_mesh()
+    state_sharded = shard_state(sim.state, mesh)
+    sources_sharded = shard_sources(sim.input_sources, cells, mesh)
+    fused_sharded = make_sharded_fused_rollout(
+        sim.model, sim.timestepper, sim.ctx, sim.input_sources, mesh=mesh,
+        dt=900.0, inner_steps=4, block_cells=16, interpret=True)
+    roll = jax.jit(lambda s, t: fused_sharded(s, n, t))
+    out_sharded = roll(state_sharded, sources_sharded)
+
+    for name in sorted(out_single.prognostic):
+        np.testing.assert_array_equal(
+            np.asarray(out_single.prognostic[name]),
+            np.asarray(out_sharded.prognostic[name]), err_msg=name)
+    sh = out_sharded.prognostic["internal_energy"].sharding
+    expected = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "cells"))
+    assert sh.is_equivalent_to(expected, ndim=2), sh
+
+    hlo = roll.lower(state_sharded, sources_sharded).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        assert op not in hlo, f"unexpected {op} in sharded fused HLO"
+
+
+def test_simulation_fused_path_on_mesh():
+    """`Simulation.mesh` routes the fused production path through shard_map;
+    `run()` works end-to-end on a sharded state and matches the XLA path."""
+    cells = 64
+    sim = _flagship(cells)
+    ref = _flagship(cells)
+    ref.run(steps=8, dt=300.0)
+
+    mesh = cell_mesh()
+    sim.state = shard_state(sim.state, mesh)
+    sim.mesh = mesh
+    sim.fused_inner_steps, sim.fused_block_cells = 4, 8
+    sim.run(steps=8, dt=300.0)
+    np.testing.assert_allclose(
+        np.asarray(sim.state.prognostic["internal_energy"]),
+        np.asarray(ref.state.prognostic["internal_energy"]),
+        rtol=1e-12, atol=0)
