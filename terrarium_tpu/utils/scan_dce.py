@@ -40,13 +40,18 @@ def _dead_input_mask(flat_step, leaves, dt):
         return [True] * (len(leaves) + 1)
 
 
-def lean_rollout(step, state, dt, n: int, unroll: int = 1):
+def lean_rollout(step, state, dt, n: int, unroll: int = 1, wrap=None):
     """Apply ``state = step(state, dt)`` ``n`` times; the first ``n - 1``
     applications run under a `lax.scan` whose carry holds only the live state
     leaves, the last one runs on the full state. Bit-identical to a
     sequential loop of ``step``. ``unroll`` is forwarded to ``lax.scan``
     (XLA replicates the body per unrolled iteration, amortizing loop
-    bookkeeping and enabling cross-step fusion)."""
+    bookkeeping and enabling cross-step fusion).
+
+    ``wrap`` (e.g. ``jax.checkpoint``) is applied to the scan body AFTER the
+    dead-carry analysis, so a rematerialised body still carries — and its
+    backward pass still stores residuals for — only the live leaves
+    (per-step remat over the lean carry; see timesteppers/autodiff.py)."""
     if n <= 0:
         return state
     leaves, treedef = jax.tree.flatten(state)
@@ -70,16 +75,28 @@ def lean_rollout(step, state, dt, n: int, unroll: int = 1):
             return [next(it) if u else jnp.zeros(*shapes[i])
                     for i, u in enumerate(used_leaves)]
 
-        def body(carry, _):
+        def body_core(carry):
             out = flat_step(rebuild(carry), dt)
-            return [out[i] for i in live], None
+            return [out[i] for i in live]
+
+        if wrap is not None:
+            body_core = wrap(body_core)
+
+        def body(carry, _):
+            return body_core(carry), None
 
         carry, _ = jax.lax.scan(body, [leaves[i] for i in live], None,
                                 length=n - 1, unroll=min(unroll, n - 1))
         state = jax.tree.unflatten(treedef, rebuild(carry))
     elif n > 1:
+        def body_core_full(lv):
+            return flat_step(lv, dt)
+
+        if wrap is not None:
+            body_core_full = wrap(body_core_full)
+
         def body_full(lv, _):
-            return flat_step(lv, dt), None
+            return body_core_full(lv), None
 
         leaves, _ = jax.lax.scan(body_full, leaves, None, length=n - 1,
                                  unroll=min(unroll, n - 1))

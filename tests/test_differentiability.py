@@ -283,3 +283,56 @@ def test_scanned_rollout_gradients_finite_with_frozen_saturated_cells():
     g = jax.grad(loss, allow_int=True)(sim.state)
     for key in ("internal_energy", "saturation_water_ice"):
         assert np.all(np.isfinite(np.asarray(g.prognostic[key]))), key
+
+
+def test_remat_policy_variants_same_gradient():
+    """All backward-pass remat schedules (per-step, sqrt-segment, policy,
+    lean carry) compute the same PARAMETER gradient as the plain rollout
+    (timesteppers/autodiff.py policy space; A/B'd for speed on chip in
+    experiments/ab_backward.py). The calibration parameter (mineral thermal
+    conductivity) enters only the tendencies, never the closure, so the
+    lean closure-rotation is gradient-neutral for it; state-gradients wrt
+    prognostics legitimately differ between lean and plain by the
+    initial-step aux attribution (the lean cycle re-derives the initial
+    closure vars from the prognostics)."""
+    def make_loss(kw):
+        def loss(k_mineral):
+            grid = tt.ColumnGrid.of(cells=2,
+                                    spacing=tt.ExponentialSpacing(N=10),
+                                    nf=np.float64)
+            tp = tt.SoilThermalProperties(
+                conductivities=tt.SoilThermalConductivities(mineral=k_mineral))
+            props = tt.ConstantSoilHydraulics(
+                swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+                unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+            soil = tt.SoilEnergyWaterCarbon(
+                energy=tt.SoilEnergyBalance(thermal_properties=tp),
+                hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                           hydraulic_properties=props))
+            model = tt.SoilModel(grid=grid, soil=soil,
+                                 initializer=tt.SoilInitializer())
+            sim = tt.initialize(
+                model, tt.ForwardEuler(),
+                boundary_conditions=tt.PrescribedSurfaceTemperature(5.0))
+            roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx,
+                                   sim.input_sources, steps=20, **kw)
+            out = roll(sim.state, 60.0)
+            return jnp.mean(out.temperature) + jnp.mean(
+                out.saturation_water_ice)
+        return loss
+
+    variants = {
+        "plain": dict(),
+        "per_step": dict(remat=True),
+        "segment4": dict(segment=4),
+        "policy_dots": dict(remat=True,
+                            policy=jax.checkpoint_policies.dots_saveable),
+        "lean": dict(lean=True),
+        "lean_remat": dict(lean=True, remat=True),
+    }
+    grads = {name: float(jax.jit(jax.grad(make_loss(kw)))(3.8))
+             for name, kw in variants.items()}
+    ref = grads["plain"]
+    assert np.isfinite(ref) and abs(ref) > 0
+    for name, g in grads.items():
+        np.testing.assert_allclose(g, ref, rtol=1e-10, err_msg=name)
