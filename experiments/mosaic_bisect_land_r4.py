@@ -1,0 +1,277 @@
+"""Round-4 op-level bisect of the Mosaic `layout.h:320` crash.
+
+Round 3 pinned the fused coupled-LandModel kernel crash
+(`F layout.h:320 Check failed: arr.size() >= layout_rank(implicit_dim)
+(1 vs. 2)`) to the surface-hydrology trace at MODEL granularity
+(experiments/mosaic_land_repro.py). This harness drills to OP granularity:
+each variant monkeypatches ONE construct out of the coupled trace and
+compiles a tiny fused lean rollout on the real chip in a SUBPROCESS (the
+Mosaic abort kills the process, signal 6).
+
+Usage:
+    python experiments/mosaic_bisect_land_r4.py            # driver: all variants
+    python experiments/mosaic_bisect_land_r4.py VARIANT    # one variant in-process
+
+Suspects (all constructs unique to the coupled trace — absent from the
+Mosaic-proven SoilModel/N72-forced kernels):
+
+  * the `ground_temperature` top-row extraction `jnp.reshape(T[-1:], (-1,))`
+    becoming LIVE (it is DCE'd out of the bare SoilModel lean kernel,
+    utils/scan_dce.py) and feeding XY math in SEB/runoff,
+  * the DirectSurfaceRunoff `jnp.squeeze(x[-1:], 0)` extractions of face/
+    center arrays,
+  * the ET-sink `(block,)/(1,)` division and its rank-1 -> rank-2 broadcast
+    into the tendency row mask,
+  * the InputRef flux-BC reads of in-kernel-computed XY auxiliaries
+    (ground_heat_flux, infiltration).
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CELLS, NZ, BLOCK, INNER, NSTEPS = 1024, 8, 256, 4, 8
+
+
+def _masked_row(arr, row):
+    """Row extraction as a one-hot masked sum (rank-2 -> rank-1 via
+    reduction, the construct already Mosaic-proven by `_WindowSource`)
+    instead of slice+reshape/squeeze."""
+    import jax
+    import jax.numpy as jnp
+
+    nz = arr.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.sum(jnp.where(rows == (row % nz), arr, 0.0), axis=0)
+
+
+def apply_variant(name, tt):
+    import jax.numpy as jnp
+
+    from terrarium_tpu.processes.soil.energy import SoilEnergyTemperatureClosure
+    from terrarium_tpu.processes.surface_hydrology import surface_hydrology as sh
+    from terrarium_tpu.processes.soil import hydrology as hyd
+
+    if name in ("base", "soil_only"):
+        return
+
+    if name == "gt_masksum":
+        orig_cl, orig_inv = (SoilEnergyTemperatureClosure.closure,
+                             SoilEnergyTemperatureClosure.invclosure)
+
+        def closure(self, state, grid, energy, soil, constants):
+            state = orig_cl(self, state, grid, energy, soil, constants)
+            return state.update(
+                ground_temperature=_masked_row(state.temperature, -1))
+
+        def invclosure(self, state, grid, energy, soil, constants):
+            state = orig_inv(self, state, grid, energy, soil, constants)
+            return state.update(
+                ground_temperature=_masked_row(state.temperature, -1))
+
+        SoilEnergyTemperatureClosure.closure = closure
+        SoilEnergyTemperatureClosure.invclosure = invclosure
+        return
+
+    if name == "gt_zero":
+        orig_cl, orig_inv = (SoilEnergyTemperatureClosure.closure,
+                             SoilEnergyTemperatureClosure.invclosure)
+
+        def closure(self, state, grid, energy, soil, constants):
+            state = orig_cl(self, state, grid, energy, soil, constants)
+            return state.update(
+                ground_temperature=jnp.zeros_like(state.ground_temperature))
+
+        def invclosure(self, state, grid, energy, soil, constants):
+            state = orig_inv(self, state, grid, energy, soil, constants)
+            return state.update(
+                ground_temperature=jnp.zeros_like(state.ground_temperature))
+
+        SoilEnergyTemperatureClosure.closure = closure
+        SoilEnergyTemperatureClosure.invclosure = invclosure
+        return
+
+    if name == "runoff_masksum":
+        def compute_auxiliary(self, state, grid, canopy, soil, ctx):
+            rain = state.rainfall_ground
+            S = state.surface_excess_water
+            k_unsat = _masked_row(state.hydraulic_conductivity, -1)
+            sat_top = _masked_row(state.saturation_water_ice, -1)
+            unsaturated = sat_top < 1.0
+            has_excess = S > 0.0
+            drainage = jnp.where(has_excess, self.surface_drainage(S), 0.0)
+            influx = jnp.where(has_excess, drainage, rain)
+            infil = jnp.where(unsaturated, jnp.minimum(influx, k_unsat), 0.0)
+            runoff = rain + drainage - infil
+            return state.update(infiltration=infil, surface_runoff=runoff)
+
+        sh.DirectSurfaceRunoff.compute_auxiliary = compute_auxiliary
+        return
+
+    if name == "runoff_trivial":
+        def compute_auxiliary(self, state, grid, canopy, soil, ctx):
+            rain = state.rainfall_ground
+            return state.update(infiltration=jnp.zeros_like(rain),
+                                surface_runoff=rain)
+
+        sh.DirectSurfaceRunoff.compute_auxiliary = compute_auxiliary
+        return
+
+    if name == "sink_zero":
+        def soil_moisture_sink(self, state, grid, constants):
+            return jnp.zeros_like(state.surface_excess_water)
+
+        sh.BareGroundEvaporation.soil_moisture_sink = soil_moisture_sink
+        return
+
+    if name == "sink_rank2":
+        # ET sink applied as an explicit rank-2 (1, block) row instead of a
+        # rank-1 (block,) implicit broadcast
+        def soil_moisture_sink(self, state, grid, constants):
+            v = -self.surface_humidity_flux(state) * self.water_flux_scale
+            return v[None, :]  # (1, block): broadcasts vs (Nz, block) rank-2
+
+        sh.BareGroundEvaporation.soil_moisture_sink = soil_moisture_sink
+        return
+
+    if name == "et_zero_aux":
+        def compute_auxiliary(self, state, grid, canopy, constants, atmos,
+                              soil, vegetation, ctx):
+            return state.update(
+                evaporation_ground=jnp.zeros_like(state.skin_temperature))
+
+        sh.BareGroundEvaporation.compute_auxiliary = compute_auxiliary
+        return
+
+    if name in ("bc_zero_infil", "bc_zero_ghf", "bc_zero_both"):
+        from terrarium_tpu.models import land_model as lm
+        from terrarium_tpu.ops.bcs import Flux, InputRef, merge_boundary_conditions
+        from terrarium_tpu.models.boundary_conditions import GroundHeatFlux
+
+        def make_context(self, bcs=None):
+            if name == "bc_zero_both":
+                coupling = {}
+            elif name == "bc_zero_infil":
+                coupling = merge_boundary_conditions(
+                    GroundHeatFlux("ground_heat_flux"), {})
+            else:  # bc_zero_ghf
+                coupling = {"saturation_water_ice":
+                            {"top": Flux(InputRef("infiltration", -1.0))}}
+            bcs = merge_boundary_conditions(bcs or {}, coupling)
+            extras = lm._LandExtras(
+                evapotranspiration=self.surface_hydrology.evapotranspiration,
+                runoff=self.surface_hydrology.surface_runoff)
+            from terrarium_tpu.processes.base import Context
+            return Context(constants=self.constants, bcs=bcs, extras=extras)
+
+        lm.LandModel.make_context = make_context
+        return
+
+    raise SystemExit(f"unknown variant {name!r}")
+
+
+def run_variant(name):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import terrarium_tpu as tt
+
+    apply_variant(name, tt)
+    # initialization is many tiny EAGER ops — minutes over the remote-chip
+    # tunnel (CLAUDE.md). Build the sim on host CPU, then move the state to
+    # the chip; only the fused rollout compiles/executes there.
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        sim = _build_sim(name, tt)
+    sim.state = jax.device_put(sim.state, tpu)
+    sim.input_sources = jax.device_put(sim.input_sources, tpu)
+    sim.fused_inner_steps, sim.fused_block_cells = INNER, BLOCK
+    roll = sim._rollout_fn(NSTEPS)
+    t0 = time.perf_counter()
+    s = roll(sim.state, 600.0)
+    v = float(np.asarray(jax.numpy.sum(s.prognostic["internal_energy"])))
+    print(f"OK {name}: {time.perf_counter() - t0:.1f}s finite={np.isfinite(v)}",
+          flush=True)
+
+
+def _build_sim(name, tt):
+    grid = tt.ColumnGrid.of(cells=CELLS, spacing=tt.ExponentialSpacing(N=NZ),
+                            nf=np.float32)
+    if name == "soil_only":
+        soil = tt.SoilEnergyWaterCarbon(
+            strat=tt.HomogeneousStratigraphy(
+                texture=tt.SoilTexture.preset("loam")),
+            hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+        model = tt.SoilModel(grid=grid, soil=soil)
+        sim = tt.initialize(model, tt.ForwardEuler(dt=600.0),
+                            initializers={"temperature": 5.0,
+                                          "saturation_water_ice": 0.6},
+                            boundary_conditions=tt.PrescribedSurfaceTemperature(5.0))
+    else:
+        soil = tt.SoilEnergyWaterCarbon(
+            strat=tt.HomogeneousStratigraphy(
+                texture=tt.SoilTexture.preset("loam")),
+            hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+        model = tt.LandModel(grid=grid, vegetation=None, soil=soil)
+        static = tt.FieldInputSource(fields={
+            "surface_longwave_down": 330.0, "rainfall": 4.0e-8,
+            "windspeed": 3.0, "surface_shortwave_down": 300.0,
+            "air_temperature": 10.0})
+        sim = tt.initialize(model, tt.ForwardEuler(dt=600.0),
+                            initializers={"temperature": 5.0,
+                                          "saturation_water_ice": 0.6},
+                            input_sources=(static,))
+    return sim
+
+
+# candidate FIXES first (same physics, different lowering), then ablations
+VARIANTS = ["gt_masksum", "runoff_masksum", "sink_rank2",
+            "gt_zero", "runoff_trivial", "sink_zero", "bc_zero_both",
+            "et_zero_aux", "bc_zero_infil", "bc_zero_ghf"]
+
+
+def main():
+    if len(sys.argv) > 1:
+        run_variant(sys.argv[1])
+        return
+    results = {}
+    only = [a for a in sys.argv[2:]] if len(sys.argv) > 2 else None
+    for v in (only or VARIANTS):
+        t0 = time.perf_counter()
+        try:
+            p = subprocess.run([sys.executable, __file__, v],
+                               capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            results[v] = "HANG  (>1800s, Mosaic compile timeout)"
+            print(f"{v:18s} {results[v]}", flush=True)
+            continue
+        dt = time.perf_counter() - t0
+        if p.returncode == 0:
+            results[v] = f"OK    ({dt:.0f}s)"
+        else:
+            err = (p.stderr or "") + (p.stdout or "")
+            tail = err.strip().splitlines()[-3:]
+            if "layout.h" in err:
+                tag = "CRASH(layout)"
+            elif "Mosaic" in err or "INTERNAL" in err or p.returncode < 0:
+                tag = "CRASH(mosaic)"
+            else:
+                tag = "FAIL "
+            results[v] = (f"{tag} rc={p.returncode} "
+                          f"({dt:.0f}s) {' | '.join(tail[-1:])[:160]}")
+        print(f"{v:18s} {results[v]}", flush=True)
+    print("\nSummary:")
+    for v, r in results.items():
+        print(f"  {v:18s} {r}")
+
+
+if __name__ == "__main__":
+    main()

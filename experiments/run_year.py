@@ -1,0 +1,204 @@
+"""The 1-simulated-year protocol (BASELINE parity target; VERDICT r4 item 2).
+
+Reproduces the reference benchmark/parity protocol on the real chip:
+SoilModel heat + RichardsEq, N145 ERA5-land masked Gaussian grid, Nz=30
+ExponentialSpacing, Float32, dt=60 s, annual-cycle surface temperature BC
+``T_ub(t) = 30 sin(2 pi t / (365*24*3600))``
+(`/root/reference/test/benchmarks/gpu/soil_heat_hydrology_global.jl:39-58`),
+run for 525,600 steps = 1 simulated year — plus a reduced-dt coupled
+LandModel year. Emits:
+
+* ``YEAR_r04.json`` — wall time, SYPD, finiteness/drift metrics, monthly
+  water+energy budget closure (diagnostics/budget.py), end-state checksums.
+* ``tests/goldens/year_n145_endstate.npz`` — decimated (every 64th cell)
+  end-state prognostics for regression; the full-state sha256 is recorded
+  in the JSON. `parity_vs_reference.py --year` consumes the same layout.
+
+Run: python experiments/run_year.py [--quick]   (--quick = 2 simulated days
+for harness validation; does not overwrite the year artifacts)
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+YEAR_STEPS = 365 * 24 * 60  # dt=60 -> 525,600
+DT = 60.0
+CHUNK = 144 * 305  # ~1 month per host round-trip; divisible by inner=144
+
+
+def _sha(arr):
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+
+
+def build_sim(tt, np_):
+    """EXACTLY the parity-harness protocol configuration — single source of
+    truth, so the year artifact and `parity_vs_reference.py` compare the
+    same model (reference `soil_heat_hydrology_global.jl:39-58`: default
+    SoilHydrology hydraulics, SoilInitializer defaults, annual-cycle BC)."""
+    from parity_vs_reference import build_sim as parity_build
+
+    sim, _ = parity_build(
+        "/root/reference/inputs/era5-land_land_sea_mask_N145.nc", dt=DT)
+    return sim
+
+
+def build_coupled_sim(tt, np_):
+    """Reduced-dt coupled LandModel year: bare-ground surface schemes over
+    the same N145 mask, daily-resolution annual forcing cycle (lat-dependent
+    air temperature + shortwave) as a (366, cells) TimeSeriesInputSource
+    (~70 MB device-resident — hourly would not fit HBM; the forcing pipeline
+    covers that regime, io/forcing_pipeline.py)."""
+    mask, _, _ = tt.load_land_mask(
+        "/root/reference/inputs/era5-land_land_sea_mask_N145.nc")
+    ring = tt.full_gaussian_grid(145)
+    grid = tt.ColumnRingGrid.create(ring, mask,
+                                    spacing=tt.ExponentialSpacing(N=20),
+                                    nf=np_.float32, pad_multiple=8)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(
+            texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+    model = tt.LandModel(grid=grid, vegetation=None, soil=soil)
+    lat = np.asarray(grid.cell_lats, dtype=np.float64)
+    T_mean = 25.0 * np.maximum(np.cos(np.deg2rad(lat)), 0.05) - 5.0
+    days = np.arange(366.0)
+    ann = np.sin(2.0 * np.pi * days / 365.0)[:, None]
+    ta = (T_mean[None, :] + 10.0 * ann * np.sign(lat)[None, :]
+          ).astype(np.float32)
+    sw = (150.0 + 120.0 * np.maximum(np.cos(np.deg2rad(lat)), 0.0)[None, :]
+          * (1.0 + 0.5 * ann * np.sign(lat)[None, :])).astype(np.float32)
+    forcing = tt.TimeSeriesInputSource(
+        times=days * 86400.0,
+        series={"air_temperature": ta, "surface_shortwave_down": sw})
+    static = tt.FieldInputSource(fields={
+        "surface_longwave_down": 330.0, "rainfall": 4.0e-8,
+        "windspeed": 3.0})
+    return tt.initialize(
+        model, tt.ForwardEuler(dt=600.0),
+        initializers={"temperature": 5.0, "saturation_water_ice": 0.6},
+        input_sources=(forcing, static))
+
+
+def run(quick=False):
+    import jax
+
+    if os.environ.get("YEAR_FORCE_CPU"):  # harness validation off-chip
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import terrarium_tpu as tt
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    with jax.default_device(cpu):
+        sim = build_sim(tt, np)
+    sim.state = jax.device_put(sim.state, dev)
+    sim.fused_inner_steps, sim.fused_block_cells = 144, 512
+
+    steps = 2 * 1440 if quick else YEAR_STEPS
+    chunk = 1440 if quick else CHUNK
+    n_chunks = steps // chunk
+    assert n_chunks * chunk == steps
+
+    tracker = tt.BudgetTracker.start(sim)
+    records = []
+    t_start = time.perf_counter()
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        sim.run(steps=chunk, dt=DT)
+        tracker(sim)
+        wall = time.perf_counter() - t0
+        T = np.asarray(sim.state.temperature)
+        sat = np.asarray(sim.state.prognostic["saturation_water_ice"])
+        rec = {
+            "chunk": i, "wall_s": round(wall, 2),
+            "t_sim_days": round(float(sim.state.clock.time) / 86400.0, 2),
+            "finite": bool(np.all(np.isfinite(T)) and np.all(np.isfinite(sat))),
+            "T_min": float(T.min()), "T_max": float(T.max()),
+            "sat_min": float(sat.min()), "sat_max": float(sat.max()),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+        if not rec["finite"]:
+            break
+    wall_total = time.perf_counter() - t_start
+
+    rep = tracker.report(sim)
+    cells = sim.model.grid.cells
+    sim_years = float(sim.state.clock.time) / (365.0 * 86400.0)
+    sypd = sim_years / (wall_total / 86400.0)
+    U = np.asarray(sim.state.prognostic["internal_energy"])
+    sat = np.asarray(sim.state.prognostic["saturation_water_ice"])
+    out = {
+        "protocol": "soil_heat_hydrology_global.jl:39-58 annual-cycle BC, "
+                    "1 simulated year, N145 ERA5-land mask, Nz=30, f32, dt=60",
+        "steps": steps, "dt": DT, "cells": cells,
+        "land_cells": int(sim.model.grid.n_land),
+        "wall_s": round(wall_total, 1),
+        "sypd": round(sypd, 2),
+        "cells_steps_per_s": round(cells * steps / wall_total / 1e6, 1),
+        "finite": all(r["finite"] for r in records),
+        "budget": {k: {kk: (round(vv, 6) if abs(vv) > 1e-4 else vv)
+                       for kk, vv in v.items()} for k, v in rep.items()},
+        "end_T_range": [records[-1]["T_min"], records[-1]["T_max"]],
+        "end_sat_range": [records[-1]["sat_min"], records[-1]["sat_max"]],
+        "checksums": {"internal_energy": _sha(U),
+                      "saturation_water_ice": _sha(sat)},
+        "chunks": records,
+    }
+    # --- reduced-dt coupled LandModel year (XLA lean scan; the coupled
+    # fused kernel is Mosaic-blocked, experiments/mosaic_land_repro.py) ---
+    with jax.default_device(cpu):
+        csim = build_coupled_sim(tt, np)
+    csim.state = jax.device_put(csim.state, dev)
+    csim.input_sources = jax.device_put(csim.input_sources, dev)
+    csteps = 288 if quick else 365 * 144  # dt=600 -> 52,560 = 1 year
+    t0 = time.perf_counter()
+    csim.run(steps=csteps, dt=600.0)
+    cwall = time.perf_counter() - t0
+    cT = np.asarray(csim.state.temperature)
+    csat = np.asarray(csim.state.prognostic["saturation_water_ice"])
+    cskin = np.asarray(csim.state.prognostic["skin_temperature"])
+    out["coupled"] = {
+        "steps": csteps, "dt": 600.0, "nz": 20,
+        "wall_s": round(cwall, 1),
+        "sypd": round((csteps * 600.0 / (365 * 86400.0))
+                      / (cwall / 86400.0), 2),
+        "finite": bool(np.all(np.isfinite(cT)) & np.all(np.isfinite(csat))
+                       & np.all(np.isfinite(cskin))),
+        "T_range": [float(cT.min()), float(cT.max())],
+        "sat_range": [float(csat.min()), float(csat.max())],
+        "skin_range": [float(cskin.min()), float(cskin.max())],
+        "checksums": {"internal_energy": _sha(np.asarray(
+            csim.state.prognostic["internal_energy"])),
+            "saturation_water_ice": _sha(csat)},
+    }
+    print(json.dumps(out["coupled"]), flush=True)
+
+    if not quick:
+        with open("/root/repo/YEAR_r04.json", "w") as f:
+            json.dump(out, f, indent=1)
+        np.savez_compressed(
+            "/root/repo/tests/goldens/year_n145_endstate.npz",
+            internal_energy=U[:, ::64], saturation_water_ice=sat[:, ::64],
+            surface_excess_water=np.asarray(
+                sim.state.prognostic["surface_excess_water"])[::64],
+            meta_steps=steps, meta_cells=cells)
+        print("wrote YEAR_r04.json + tests/goldens/year_n145_endstate.npz")
+    print(json.dumps({k: out[k] for k in
+                      ("wall_s", "sypd", "cells_steps_per_s", "finite",
+                       "checksums")}))
+    return out
+
+
+if __name__ == "__main__":
+    run(quick="--quick" in sys.argv)
