@@ -149,6 +149,77 @@ def apply_variant(name, tt):
         sh.BareGroundEvaporation.compute_auxiliary = compute_auxiliary
         return
 
+    if name == "gt_zero_mul":
+        # keep the T -> gt -> SEB dataflow GRAPH, zero only the values: if
+        # this still crashes, Mosaic trips on the graph/layout chain, not on
+        # any particular numeric path
+        orig_cl = SoilEnergyTemperatureClosure.closure
+
+        def closure(self, state, grid, energy, soil, constants):
+            state = orig_cl(self, state, grid, energy, soil, constants)
+            return state.update(
+                ground_temperature=0.0 * state.ground_temperature)
+
+        SoilEnergyTemperatureClosure.closure = closure
+        return
+
+    if name == "gt_barrier":
+        # lax.optimization_barrier between the rank-2 row extraction and the
+        # XY consumers: forces a layout-assignment boundary
+        import jax
+
+        orig_cl = SoilEnergyTemperatureClosure.closure
+
+        def closure(self, state, grid, energy, soil, constants):
+            state = orig_cl(self, state, grid, energy, soil, constants)
+            return state.update(ground_temperature=jax.lax.optimization_barrier(
+                state.ground_temperature))
+
+        SoilEnergyTemperatureClosure.closure = closure
+        return
+
+    if name == "ts_eq_tg":
+        # cut the skin-temperature update chain: Ts = Tg directly
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        def compute_skin_temperature(self, state, grid):
+            return state.ground_temperature
+
+        seb_mod.ImplicitSkinTemperature.compute_skin_temperature = \
+            compute_skin_temperature
+        return
+
+    if name == "no_skin_write":
+        # SEB computes fluxes at Tg-independent Ts (the carried prognostic)
+        # and never writes Ts from Tg; gt stays live only through the
+        # latent/vpd chain
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            return self._fluxes(state, grid, constants, atmos, evtr)
+
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
+    if name == "one_sweep":
+        # keep the Ts update but skip the SECOND flux sweep
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+        ImplicitSkin = seb_mod.ImplicitSkinTemperature
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            state = self._fluxes(state, grid, constants, atmos, evtr)
+            if isinstance(self.skin_temperature, ImplicitSkin):
+                Ts = self.skin_temperature.compute_skin_temperature(state, grid)
+                state = state.update(skin_temperature=Ts)
+            return state
+
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
     if name in ("bc_zero_infil", "bc_zero_ghf", "bc_zero_both"):
         from terrarium_tpu.models import land_model as lm
         from terrarium_tpu.ops.bcs import Flux, InputRef, merge_boundary_conditions
@@ -232,10 +303,22 @@ def _build_sim(name, tt):
     return sim
 
 
-# candidate FIXES first (same physics, different lowering), then ablations
-VARIANTS = ["gt_masksum", "runoff_masksum", "sink_rank2",
-            "gt_zero", "runoff_trivial", "sink_zero", "bc_zero_both",
-            "et_zero_aux", "bc_zero_infil", "bc_zero_ghf"]
+# ladder 2 (after ladder-1 localization: every variant with live
+# T -> ground_temperature -> SEB dataflow crashes; gt_zero alone is OK):
+# drill inside the SEB consumption chain + cheap lowering dodges
+VARIANTS = ["gt_barrier", "gt_zero_mul", "ts_eq_tg", "no_skin_write",
+            "one_sweep"]
+# ladder 1 (all measured, see LADDER1_RESULTS below)
+LADDER1 = ["gt_masksum", "runoff_masksum", "sink_rank2",
+           "gt_zero", "runoff_trivial", "sink_zero", "bc_zero_both",
+           "et_zero_aux", "bc_zero_infil", "bc_zero_ghf"]
+#: chip results 2026-08-21 (cells=1024, nz=8, block=256, inner=4):
+#: gt_masksum CRASH, runoff_masksum CRASH, sink_rank2 CRASH, gt_zero OK,
+#: runoff_trivial CRASH, sink_zero CRASH, bc_zero_both CRASH,
+#: et_zero_aux CRASH, bc_zero_infil CRASH, bc_zero_ghf CRASH
+#: => trigger = the temperature -> ground_temperature -> SEB dataflow being
+#: live in-kernel (independent of extraction op, coupling BCs, ET, runoff)
+LADDER1_RESULTS = "see comment"
 
 
 def main():

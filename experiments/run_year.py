@@ -66,7 +66,23 @@ def build_coupled_sim(tt, np_):
         strat=tt.HomogeneousStratigraphy(
             texture=tt.SoilTexture.preset("loam")),
         hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
-    model = tt.LandModel(grid=grid, vegetation=None, soil=soil)
+    # year-scale coupled runs REQUIRE the consistent production modes: the
+    # reference's parity semantics overdraw soil water ~773x (ET humidity
+    # flux applied as a volume flux) and feed turbulent losses back into the
+    # ground with the wrong sign — both documented deviations (README); a
+    # parity-mode coupled year drains the column and blows up the skin
+    # temperature (measured: sat -> 0, Ts -> 600 degC in 2 days).
+    from terrarium_tpu.processes.surface_hydrology.surface_hydrology import (
+        BareGroundEvaporation, DirectSurfaceRunoff, NoCanopyInterception,
+        SurfaceHydrology)
+
+    sh = SurfaceHydrology(
+        canopy_interception=NoCanopyInterception(),
+        evapotranspiration=BareGroundEvaporation.consistent_units(),
+        surface_runoff=DirectSurfaceRunoff.consistent())
+    model = tt.LandModel(grid=grid, vegetation=None, soil=soil,
+                         surface_hydrology=sh,
+                         surface_energy_balance=tt.SurfaceEnergyBalance.consistent())
     lat = np.asarray(grid.cell_lats, dtype=np.float64)
     T_mean = 25.0 * np.maximum(np.cos(np.deg2rad(lat)), 0.05) - 5.0
     days = np.arange(366.0)
@@ -80,7 +96,8 @@ def build_coupled_sim(tt, np_):
         series={"air_temperature": ta, "surface_shortwave_down": sw})
     static = tt.FieldInputSource(fields={
         "surface_longwave_down": 330.0, "rainfall": 4.0e-8,
-        "windspeed": 3.0})
+        "windspeed": 3.0, "specific_humidity": 0.006,
+        "air_pressure": 101325.0})
     return tt.initialize(
         model, tt.ForwardEuler(dt=600.0),
         initializers={"temperature": 5.0, "saturation_water_ice": 0.6},

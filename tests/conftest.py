@@ -28,3 +28,8 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (>40 s); skip with -m 'not slow'")

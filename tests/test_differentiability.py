@@ -10,6 +10,7 @@ rollouts (BASELINE config #5).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import terrarium_tpu as tt
 from terrarium_tpu.processes.soil.stratigraphy import SoilVolume
@@ -285,6 +286,7 @@ def test_scanned_rollout_gradients_finite_with_frozen_saturated_cells():
         assert np.all(np.isfinite(np.asarray(g.prognostic[key]))), key
 
 
+@pytest.mark.slow
 def test_remat_policy_variants_same_gradient():
     """All backward-pass remat schedules (per-step, sqrt-segment, policy,
     lean carry) compute the same PARAMETER gradient as the plain rollout

@@ -141,6 +141,7 @@ def test_implicit_infiltration_front_accuracy(infil_reference):
     assert errs[300.0] < errs[1800.0], errs
 
 
+@pytest.mark.slow
 def test_second_picard_iteration_tightens_infiltration(infil_reference):
     """picard_iters=2 re-centers face K on the moving front. Measured: a
     ~10x accuracy gain at dt=300 (mass-profile err 0.021 -> 0.002) and

@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import terrarium_tpu as tt
 from terrarium_tpu.utils.scan_dce import _dead_input_mask, lean_rollout
@@ -60,6 +61,7 @@ def test_lean_rollout_generic_pytree():
     np.testing.assert_array_equal(np.asarray(out.scratch), np.asarray(ref.scratch))
 
 
+@pytest.mark.slow
 def test_rollout_matches_sequential_soil():
     for ts in (tt.ForwardEuler(dt=60.0), tt.Heun(dt=60.0),
                tt.ImplicitEuler(dt=60.0)):

@@ -131,6 +131,7 @@ def _coupled_land(cells):
         input_sources=(forcing, static))
 
 
+@pytest.mark.slow
 def test_sharded_coupled_land_model_bit_identical():
     """The coupled LandModel steps bit-identically on the 8-device mesh, and
     the compiled sharded rollout contains NO cross-device communication
