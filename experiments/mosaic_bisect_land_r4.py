@@ -61,6 +61,31 @@ def apply_variant(name, tt):
     if name in ("base", "soil_only"):
         return
 
+    if "+" in name:  # stackable atoms: "a+b+c" applies each in turn
+        for atom in name.split("+"):
+            apply_variant(atom, tt)
+        return
+
+    if name == "minseb":
+        # the WHOLE surface energy balance reduced to one linear carried-
+        # prognostic update from the T top row: Ts' = 0.9 Ts + 0.1 Tg
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        def compute_auxiliary(self, state, grid, constants, atmos, evtr=None,
+                              ctx=None):
+            return state.update(
+                skin_temperature=0.9 * state.skin_temperature
+                + 0.1 * state.ground_temperature)
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            return state
+
+        seb_mod.SurfaceEnergyBalance.compute_auxiliary = compute_auxiliary
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
     if name == "gt_masksum":
         orig_cl, orig_inv = (SoilEnergyTemperatureClosure.closure,
                              SoilEnergyTemperatureClosure.invclosure)
@@ -220,6 +245,46 @@ def apply_variant(name, tt):
             compute_surface_energy_fluxes
         return
 
+    if name in ("seb_linear", "seb_no_pow4", "seb_no_esat", "seb_no_ra"):
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+        from terrarium_tpu.processes import atmosphere as atm_mod
+        from terrarium_tpu import constants as const_mod
+
+        if name in ("seb_linear", "seb_no_pow4"):
+            def upwelling(self, state, seb, constants, atmos, Ts):
+                SW_down = atmos.shortwave_down(state)
+                LW_down = atmos.longwave_down(state)
+                SW_up = 0.3 * SW_down
+                LW_up = 1.5 * Ts + 0.97 * LW_down  # linear LW stand-in
+                return SW_up, LW_up
+
+            seb_mod.DiagnosedRadiativeFluxes.upwelling = upwelling
+        if name == "seb_linear":
+            def sensible(self, state, seb, constants, atmos, Ts):
+                Ta = atmos.air_temperature(state)
+                return 1.0e-3 * (Ts - Ta)
+
+            def latent(self, state, seb, constants, atmos, Ts, evtr=None):
+                return 1.0e-3 * Ts
+
+            seb_mod.DiagnosedTurbulentFluxes.sensible = sensible
+            seb_mod.DiagnosedTurbulentFluxes.latent = latent
+        if name == "seb_no_esat":
+            def humidity_vpd(self, state, constants, Ts=None):
+                Ts = Ts if Ts is not None else self.air_temperature(state)
+                return 1.0e-5 * Ts + 1.0e-4  # linear stand-in, keeps graph
+
+            atm_mod.PrescribedAtmosphere.humidity_vpd = humidity_vpd
+        if name == "seb_no_ra":
+            def aerodynamic_resistance(self, state, constants=None):
+                import jax.numpy as jnp2
+
+                return jnp2.full_like(state.skin_temperature, 260.0)
+
+            atm_mod.PrescribedAtmosphere.aerodynamic_resistance = \
+                aerodynamic_resistance
+        return
+
     if name in ("bc_zero_infil", "bc_zero_ghf", "bc_zero_both"):
         from terrarium_tpu.models import land_model as lm
         from terrarium_tpu.ops.bcs import Flux, InputRef, merge_boundary_conditions
@@ -306,8 +371,24 @@ def _build_sim(name, tt):
 # ladder 2 (after ladder-1 localization: every variant with live
 # T -> ground_temperature -> SEB dataflow crashes; gt_zero alone is OK):
 # drill inside the SEB consumption chain + cheap lowering dodges
-VARIANTS = ["gt_barrier", "gt_zero_mul", "ts_eq_tg", "no_skin_write",
-            "one_sweep"]
+# ladder 4: structural shrink inside the real harness (ladder 3:
+# seb_linear CRASH => flux math ops exonerated; trigger is structural).
+# mini_core == soil kernel + one linear Ts'(Ts, Tg) carry update with all
+# periphery cut; then re-add pieces one at a time.
+MINI = "minseb+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"
+VARIANTS = [MINI,
+            "minseb+runoff_trivial+sink_zero+et_zero_aux",  # +coupling BCs
+            "minseb+bc_zero_both+sink_zero+et_zero_aux",    # +real runoff
+            "minseb+bc_zero_both+runoff_trivial",           # +real ET aux
+            "one_sweep+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"]
+LADDER3 = ["seb_linear", "seb_no_esat", "seb_no_pow4", "seb_no_ra"]
+#: chip: seb_linear CRASH(layout)
+LADDER2 = ["gt_barrier", "gt_zero_mul", "ts_eq_tg", "no_skin_write",
+           "one_sweep"]
+#: chip results: gt_barrier FAIL(non-layout), gt_zero_mul CRASH (graph not
+#: values), ts_eq_tg CRASH, no_skin_write OK (gt unconsumed -> DCE),
+#: one_sweep CRASH. Pure-Pallas minimal patterns (mosaic_min_repro.py)
+#: ALL COMPILE -> the bare row->XY-carry pattern is innocent.
 # ladder 1 (all measured, see LADDER1_RESULTS below)
 LADDER1 = ["gt_masksum", "runoff_masksum", "sink_rank2",
            "gt_zero", "runoff_trivial", "sink_zero", "bc_zero_both",
