@@ -86,6 +86,194 @@ def apply_variant(name, tt):
             compute_surface_energy_fluxes
         return
 
+    if name == "minseb_twice":
+        # minseb but the Ts update applied TWICE in sequence per step (the
+        # real LandModel runs the SEB sweep 2-4x: compute_auxiliary +
+        # compute_surface_energy_fluxes, each optionally two-pass)
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        def compute_auxiliary(self, state, grid, constants, atmos, evtr=None,
+                              ctx=None):
+            state = state.update(
+                skin_temperature=0.9 * state.skin_temperature
+                + 0.1 * state.ground_temperature)
+            return state.update(
+                skin_temperature=0.9 * state.skin_temperature
+                + 0.1 * state.ground_temperature)
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            return state
+
+        seb_mod.SurfaceEnergyBalance.compute_auxiliary = compute_auxiliary
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
+    if name == "minseb_full":
+        # ALL exonerated ingredients together: two sequential sweeps, each
+        # reading input leaves, writing the six flux aux leaves, and
+        # updating the carried Ts — the closest linear analogue of the real
+        # (crashing) one-sweep SEB structure
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        def _sweep(state, atmos):
+            Ts, Tg = state.skin_temperature, state.ground_temperature
+            SW = atmos.shortwave_down(state)
+            LW = atmos.longwave_down(state)
+            Ta = atmos.air_temperature(state)
+            SW_up = 0.3 * SW
+            LW_up = 1.5 * Ts + 0.97 * LW
+            R_net = SW_up - SW + LW_up - LW
+            H_s = 1.0e-3 * (Ts - Ta)
+            H_l = 1.0e-3 * Ts
+            G = R_net - H_s - H_l
+            state = state.update(surface_net_radiation=R_net,
+                                 ground_heat_flux=G,
+                                 surface_shortwave_up=SW_up,
+                                 surface_longwave_up=LW_up,
+                                 sensible_heat_flux=H_s,
+                                 latent_heat_flux=H_l)
+            return state.update(
+                skin_temperature=Tg - 1.0e-3 * state.ground_heat_flux)
+
+        def compute_auxiliary(self, state, grid, constants, atmos, evtr=None,
+                              ctx=None):
+            return _sweep(state, atmos)
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            return _sweep(state, atmos)
+
+        seb_mod.SurfaceEnergyBalance.compute_auxiliary = compute_auxiliary
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
+    if name in ("minseb_inputs", "minseb_aux", "minseb_ghf"):
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        if name == "minseb_inputs":
+            # minseb + input-leaf reads in the XY chain
+            def compute_auxiliary(self, state, grid, constants, atmos,
+                                  evtr=None, ctx=None):
+                extra = 1.0e-6 * (atmos.shortwave_down(state)
+                                  + atmos.longwave_down(state)
+                                  + atmos.air_temperature(state))
+                return state.update(
+                    skin_temperature=0.9 * state.skin_temperature
+                    + 0.1 * state.ground_temperature + extra)
+        elif name == "minseb_ghf":
+            # minseb + ONE aux intermediary (ground_heat_flux) in the chain
+            def compute_auxiliary(self, state, grid, constants, atmos,
+                                  evtr=None, ctx=None):
+                G = 1.5 * state.skin_temperature - state.ground_temperature
+                state = state.update(ground_heat_flux=G)
+                return state.update(
+                    skin_temperature=0.9 * state.skin_temperature
+                    + 1.0e-3 * state.ground_heat_flux
+                    + 0.1 * state.ground_temperature)
+        else:  # minseb_aux: minseb + the five flux aux writes (no inputs)
+            def compute_auxiliary(self, state, grid, constants, atmos,
+                                  evtr=None, ctx=None):
+                Ts, Tg = state.skin_temperature, state.ground_temperature
+                state = state.update(
+                    surface_net_radiation=1.1 * Ts + 0.1 * Tg,
+                    ground_heat_flux=1.5 * Ts - Tg,
+                    surface_shortwave_up=0.5 * Ts,
+                    surface_longwave_up=0.7 * Ts,
+                    sensible_heat_flux=0.2 * Ts,
+                    latent_heat_flux=0.1 * Ts)
+                return state.update(
+                    skin_temperature=0.9 * Ts
+                    + 1.0e-3 * state.ground_heat_flux + 0.1 * Tg)
+
+        def compute_surface_energy_fluxes(self, state, grid, constants,
+                                          atmos, evtr=None):
+            return state
+
+        seb_mod.SurfaceEnergyBalance.compute_auxiliary = compute_auxiliary
+        seb_mod.SurfaceEnergyBalance.compute_surface_energy_fluxes = \
+            compute_surface_energy_fluxes
+        return
+
+    if name in ("rad_linear", "turb_linear"):
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        if name == "rad_linear":
+            def upwelling(self, state, seb, constants, atmos, Ts):
+                SW_down = atmos.shortwave_down(state)
+                LW_down = atmos.longwave_down(state)
+                return 0.3 * SW_down, 1.5 * Ts + 0.97 * LW_down
+
+            seb_mod.DiagnosedRadiativeFluxes.upwelling = upwelling
+        else:
+            def sensible(self, state, seb, constants, atmos, Ts):
+                return 1.0e-3 * (Ts - atmos.air_temperature(state))
+
+            def latent(self, state, seb, constants, atmos, Ts, evtr=None):
+                return 1.0e-3 * Ts
+
+            seb_mod.DiagnosedTurbulentFluxes.sensible = sensible
+            seb_mod.DiagnosedTurbulentFluxes.latent = latent
+        return
+
+    if name in ("skin_simple", "skin_const_dz", "skin_no_clip"):
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+
+        if name == "skin_simple":
+            def compute_skin_temperature(self, state, grid):
+                return state.ground_temperature - 1.0e-3 * state.ground_heat_flux
+        elif name == "skin_const_dz":
+            def compute_skin_temperature(self, state, grid):
+                G = state.ground_heat_flux
+                Tg = state.ground_temperature
+                delta = jnp.clip(-G * 0.05 / (2.0 * self.kappa_s),
+                                 -self.max_delta, self.max_delta)
+                return Tg + delta
+        else:  # skin_no_clip
+            def compute_skin_temperature(self, state, grid):
+                dz1 = jnp.reshape(grid.dz[-1:], ())
+                G = state.ground_heat_flux
+                Tg = state.ground_temperature
+                return Tg - G * dz1 / (2.0 * self.kappa_s)
+
+        seb_mod.ImplicitSkinTemperature.compute_skin_temperature = \
+            compute_skin_temperature
+        return
+
+    if name == "fluxes_plain":
+        # _fluxes without the broadcast_to/astype normalization on updates
+        from terrarium_tpu.processes.surface_energy import seb as seb_mod
+        net_radiation = seb_mod.net_radiation
+        DiagnosedRadiativeFluxes = seb_mod.DiagnosedRadiativeFluxes
+        DiagnosedTurbulentFluxes = seb_mod.DiagnosedTurbulentFluxes
+
+        def _fluxes(self, state, grid, constants, atmos, evtr):
+            Ts = self.skin_temperature.skin_temperature(state)
+            SW_up, LW_up = self.radiative_fluxes.upwelling(state, self,
+                                                          constants, atmos, Ts)
+            SW_down = atmos.shortwave_down(state)
+            LW_down = atmos.longwave_down(state)
+            R_net = net_radiation(SW_up, SW_down, LW_up, LW_down)
+            H_s = self.turbulent_fluxes.sensible(state, self, constants,
+                                                 atmos, Ts)
+            H_l = self.turbulent_fluxes.latent(state, self, constants, atmos,
+                                              Ts, evtr)
+            G = (R_net + H_s + H_l if self.ground_flux_form == "consistent"
+                 else R_net - H_s - H_l)
+            updates = dict(surface_net_radiation=R_net, ground_heat_flux=G)
+            if isinstance(self.radiative_fluxes, DiagnosedRadiativeFluxes):
+                updates.update(surface_shortwave_up=SW_up,
+                               surface_longwave_up=LW_up)
+            if isinstance(self.turbulent_fluxes, DiagnosedTurbulentFluxes):
+                updates.update(sensible_heat_flux=H_s, latent_heat_flux=H_l)
+            ones = jnp.ones_like(state.ground_heat_flux)
+            return state.update({k: v * ones for k, v in updates.items()})
+
+        seb_mod.SurfaceEnergyBalance._fluxes = _fluxes
+        return
+
     if name == "gt_masksum":
         orig_cl, orig_inv = (SoilEnergyTemperatureClosure.closure,
                              SoilEnergyTemperatureClosure.invclosure)
@@ -371,16 +559,32 @@ def _build_sim(name, tt):
 # ladder 2 (after ladder-1 localization: every variant with live
 # T -> ground_temperature -> SEB dataflow crashes; gt_zero alone is OK):
 # drill inside the SEB consumption chain + cheap lowering dodges
-# ladder 4: structural shrink inside the real harness (ladder 3:
-# seb_linear CRASH => flux math ops exonerated; trigger is structural).
-# mini_core == soil kernel + one linear Ts'(Ts, Tg) carry update with all
-# periphery cut; then re-add pieces one at a time.
+# FINAL STATE (round 4, seven ladders, ~30 on-chip probes):
+#   gt_zero OK | gt_masksum/gt_zero_mul CRASH      -> graph-triggered, not op
+#   all periphery cut (BCs/ET/runoff) still CRASH  -> SEB-internal
+#   seb_linear / fluxes_plain / all skin variants CRASH -> not transcendental
+#     ops, not broadcast/astype, not the dz1 scalar, not clip
+#   minseb / minseb_inputs / minseb_ghf / minseb_aux / minseb_twice all OK
+#   minseb_full (two linear sweeps x [input reads + 6 aux writes + Ts
+#     update]) CRASH -> the trigger is the COMPOUND graph: the full
+#     (even fully linear) two-sweep SEB dataflow composed with the soil
+#     closure chain in one kernel. No single crashing op exists; this is a
+#     Mosaic layout-inference bug on graph composition (layout.h:320,
+#     size-1 array meeting a rank-2 implicit-dim layout).
+# The sharpest committed crasher: variant
+#   "minseb_full+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"
+# — zero transcendentals, zero real SEB physics, still aborts the compiler.
+X = "bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"
+VARIANTS = [f"minseb_full+{X}"]
+LADDER5 = "one_sweep+X+rad_linear+turb_linear[+skin_simple|skin_const_dz|skin_no_clip|fluxes_plain]"
+#: chip: ALL ladder-5 variants CRASH(layout)
 MINI = "minseb+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"
-VARIANTS = [MINI,
-            "minseb+runoff_trivial+sink_zero+et_zero_aux",  # +coupling BCs
-            "minseb+bc_zero_both+sink_zero+et_zero_aux",    # +real runoff
-            "minseb+bc_zero_both+runoff_trivial",           # +real ET aux
-            "one_sweep+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"]
+LADDER4 = [MINI,
+           "minseb+runoff_trivial+sink_zero+et_zero_aux",
+           "minseb+bc_zero_both+sink_zero+et_zero_aux",
+           "minseb+bc_zero_both+runoff_trivial",
+           "one_sweep+bc_zero_both+runoff_trivial+sink_zero+et_zero_aux"]
+#: chip: minseb combos all OK; one_sweep+all-cut CRASH(layout)
 LADDER3 = ["seb_linear", "seb_no_esat", "seb_no_pow4", "seb_no_ra"]
 #: chip: seb_linear CRASH(layout)
 LADDER2 = ["gt_barrier", "gt_zero_mul", "ts_eq_tg", "no_skin_write",
