@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 YEAR_STEPS = 365 * 24 * 60  # dt=60 -> 525,600
 DT = 60.0
-CHUNK = 144 * 305  # ~1 month per host round-trip; divisible by inner=144
+CHUNK = 144 * 365  # ~36.5 days per host round-trip; 10 chunks/year
 
 
 def _sha(arr):

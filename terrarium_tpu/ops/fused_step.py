@@ -240,7 +240,8 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                             dt: float, inner_steps: int,
                             block_cells: int = 1024,
                             unroll: int = 1,
-                            interpret: Optional[bool] = None):
+                            interpret: Optional[bool] = None,
+                            xy_rank2: bool = False):
     """Build ``rollout(state, n) -> state`` executing ``n`` steps with the
     VMEM-resident fused kernel, carrying only the LIVE state leaves.
 
@@ -257,6 +258,14 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
       so intermediate states never touch HBM at all. Per kernel call the
       HBM traffic is ONE read + ONE write of the live leaves per block,
       amortized over ``inner_steps`` timesteps.
+
+    ``xy_rank2``: keep XY (rank-1) state leaves as ``(1, block)`` rank-2
+    values throughout the kernel body (no squeeze on read, rank-2 loop
+    carries). The physics is shape-polymorphic for XY leaves
+    (`state.State.update` canonicalizes same-size shapes), so results are
+    identical; the knob exists as a Mosaic layout-inference dodge for the
+    coupled-kernel `layout.h:320` crash (experiments/mosaic_bisect_land_r4)
+    where rank-1 XY chains participate in the crashing compound graph.
 
     ``n`` must be a multiple of ``inner_steps``. The trailing ``closure`` is
     applied by XLA on the rebuilt state; transient auxiliaries are stale
@@ -370,7 +379,9 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             if jnp.ndim(leaf) == 0:
                 return jax.ShapeDtypeStruct((), leaf.dtype)
             if jnp.ndim(leaf) == 1:
-                return jax.ShapeDtypeStruct((block,), leaf.dtype)
+                # xy_rank2: trace the physics with (1, block) XY leaves
+                return jax.ShapeDtypeStruct((1, block) if xy_rank2
+                                            else (block,), leaf.dtype)
             return jax.ShapeDtypeStruct((leaf.shape[0], block), leaf.dtype)
 
         samples = [block_like(l) for l in leaves]
@@ -442,11 +453,11 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                             n_live + len(consts2d) + len(win_samples)]
             outs = refs[n_live + len(consts2d) + len(win_samples):]
 
-            def read(ref, nd):
+            def read(ref, nd, state_leaf=False):
                 val = ref[...]
                 if nd == 0:
                     return jnp.reshape(val, ())
-                if nd == 1:
+                if nd == 1 and not (xy_rank2 and state_leaf):
                     return jnp.squeeze(val, axis=0)
                 return val
 
@@ -454,7 +465,8 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                           for cr, c in zip(const_refs, consts)]
             win_vals = [read(wr, len(s.shape))
                         for wr, s in zip(win_refs, win_samples)]
-            carry0 = [read(ins[k], ndims[live[k]]) for k in range(n_live)]
+            carry0 = [read(ins[k], ndims[live[k]], state_leaf=True)
+                      for k in range(n_live)]
 
             def rebuild(carry):
                 vals = {i: v for i, v in zip(live, carry)}

@@ -366,13 +366,17 @@ def apply_flux_bcs(tend, var_bcs, state, dz):
         return tend
     top = var_bcs.get("top")
     bot = var_bcs.get("bottom")
-    if tend.ndim == 1:
+    dz2 = dz if dz.ndim == 2 else dz[:, None]
+    # XY tendencies: rank-1, or a single-row rank-2 leaf on a multi-layer
+    # grid (the fused kernel's XY-rank-2 mode keeps XY leaves as (1, cells))
+    is_xy = tend.ndim == 1 or (tend.ndim == 2 and tend.shape[0] == 1
+                               and dz2.shape[0] != 1)
+    if is_xy:
         if isinstance(top, Flux):
             tend = tend - resolve_bc_value(top.value, state)
         if isinstance(bot, Flux):
             tend = tend + resolve_bc_value(bot.value, state)
         return tend
-    dz2 = dz if dz.ndim == 2 else dz[:, None]
     if isinstance(top, Flux):
         q = resolve_bc_value(top.value, state)
         tend = jnp.where(_row_mask(tend.shape, -1), tend - q / dz2[-1:], tend)

@@ -336,8 +336,10 @@ class SoilHydrology:
         # float() keeps the surface elevation weakly typed (np.float64
         # scalars are strong under x64 and would promote f32 states)
         psi_z = z - float(grid.vertical.z_faces[-1])
-        z0 = state.water_table  # (cells,)
-        psi_h = jnp.maximum(0.0, z0[None, :] - z)
+        # (cells,) or (1, cells) under the fused kernel's XY-rank-2 mode —
+        # canonicalize to a row for the (Nz, cells) broadcast
+        z0 = jnp.reshape(state.water_table, (1, -1))
+        psi_h = jnp.maximum(0.0, z0 - z)
         return psi_z, psi_h
 
     def closure(self, state, grid, soil, constants, ctx=None):

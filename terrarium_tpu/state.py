@@ -19,6 +19,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .variables import Variables, XY, XYZ
 
@@ -84,12 +85,25 @@ class State:
     # -- functional updates ----------------------------------------------
     def update(self, updates: Dict[str, Any] = None, /, **kw) -> "State":
         """Return a new state with the named variables replaced. Each name is
-        routed to the group it was declared in (prognostic/auxiliary/inputs)."""
+        routed to the group it was declared in (prognostic/auxiliary/inputs).
+
+        Same-size values are canonicalized (reshaped) to the existing leaf's
+        shape, so shape-polymorphic physics keeps the state layout stable —
+        e.g. a ``(cells,)`` reduction written to a ``(1, cells)`` leaf under
+        the fused kernel's XY-rank-2 mode (`ops/fused_step.py`), or a
+        ``(1, cells)`` row slice written to a ``(cells,)`` leaf."""
         updates = {**(updates or {}), **kw}
         new = {g: dict(getattr(self, g)) for g in _GROUPS}
         for name, val in updates.items():
             for g in ("prognostic", "auxiliary", "inputs"):
                 if name in new[g]:
+                    cur = new[g][name]
+                    cshape = getattr(cur, "shape", None)
+                    vshape = getattr(val, "shape", None)
+                    if (cshape is not None and vshape is not None
+                            and vshape != cshape
+                            and int(np.prod(vshape)) == int(np.prod(cshape))):
+                        val = jnp.reshape(val, cshape)
                     new[g][name] = val
                     break
             else:

@@ -89,6 +89,10 @@ class Simulation:
         #: in-kernel step-loop unroll of the fused kernel (cross-step code
         #: motion for Mosaic; raises compile time).
         self.fused_unroll = 1
+        #: keep XY leaves rank-2 (1, block) inside the fused kernel — a
+        #: Mosaic layout-inference dodge for the coupled-kernel layout.h
+        #: crash (bit-identical results; see ops/fused_step.py xy_rank2).
+        self.fused_xy_rank2 = False
         #: optional `jax.sharding.Mesh`: when set, the fused rollout runs
         #: inside `jax.shard_map` over the cells axis (each device executes
         #: its own kernel grid on its local shard — a bare pallas_call under
@@ -195,7 +199,8 @@ class Simulation:
 
         inner = int(self.fused_inner_steps)
         key = ("fused", n_inner, inner, int(self.fused_block_cells),
-               int(self.fused_unroll), id(self.mesh))
+               int(self.fused_unroll), bool(self.fused_xy_rank2),
+               id(self.mesh))
         if key not in self._rollout_fns:
             if n_inner % inner != 0:
                 raise ValueError(
@@ -218,7 +223,8 @@ class Simulation:
                     self.model, self.timestepper, self.ctx,
                     self.input_sources, dt=dt0, inner_steps=inner,
                     block_cells=int(self.fused_block_cells),
-                    unroll=int(self.fused_unroll))
+                    unroll=int(self.fused_unroll),
+                    xy_rank2=bool(self.fused_xy_rank2))
             # time-varying sources enter as pytree ARGUMENTS so the
             # (T, cells) series lower as jit parameters, not HLO constants
             jitted = jax.jit(lambda s, ts: fused(s, n_inner, ts))

@@ -367,3 +367,44 @@ def test_fused_lean_rollout_implicit_stepper():
         a = np.asarray(s_fus.prognostic[name])
         b = np.asarray(s_ref.prognostic[name])
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12, err_msg=name)
+
+
+def test_fused_lean_rollout_xy_rank2_coupled():
+    """The XY-rank-2 kernel mode (`xy_rank2=True`) — the Mosaic layout
+    dodge that unblocks the coupled LandModel kernel on chip (round-4
+    bisect) — is bit-identical to the rank-1 mode in interpret mode."""
+    import jax
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells, nz = 96, 10
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float64)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+    model = tt.LandModel(grid=grid,
+                         vegetation=tt.VegetationCarbon.consistent_units(),
+                         soil=soil)
+    static = tt.FieldInputSource(fields={
+        "surface_longwave_down": 330.0, "rainfall": 4.0e-8, "windspeed": 3.0,
+        "surface_shortwave_down": 300.0, "air_temperature": 10.0,
+        "specific_humidity": 0.006})
+    sim = tt.initialize(model, tt.ForwardEuler(dt=600.0),
+                        initializers={"temperature": 8.0,
+                                      "saturation_water_ice": 0.6,
+                                      "carbon_vegetation": 2.0,
+                                      "vegetation_area_fraction": 0.5},
+                        input_sources=(static,))
+    n = 8
+    kw = dict(dt=600.0, inner_steps=4, block_cells=32, interpret=True)
+    f1 = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                 sim.input_sources, **kw)
+    f2 = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                 sim.input_sources, xy_rank2=True, **kw)
+    s1 = jax.jit(lambda s: f1(s, n))(sim.state)
+    s2 = jax.jit(lambda s: f2(s, n))(sim.state)
+    for name in sorted(s1.prognostic):
+        np.testing.assert_array_equal(np.asarray(s1.prognostic[name]),
+                                      np.asarray(s2.prognostic[name]),
+                                      err_msg=name)
