@@ -50,23 +50,38 @@ def _time_blocks(roll, state, dt, sync_leaf, reps=5):
     return float(np.median(times)), compile_s, state
 
 
-def _best_of_fused(sim, steps, dt, med_xla, inner=144, block=512):
+def _best_of_fused(sim, steps, dt, med_xla, inner=144, block=512,
+                   xy_rank2_first=False):
     """Try the fused Pallas rollout back-to-back in this process; return
     (median_s, path) for the better of the two. Any failure (unsupported
-    sources, Mosaic limits) leaves the XLA number standing."""
-    try:
-        sim.fused_inner_steps, sim.fused_block_cells = inner, block
-        roll = sim._rollout_fn(steps)
-        med_f, _, _ = _time_blocks(roll, sim.state, dt,
-                                   lambda s: s.prognostic["internal_energy"],
-                                   reps=3)
-        if med_f < med_xla:
-            return med_f, f"pallas_fused_{block}x{inner}"
-    except Exception:
-        pass
-    finally:
-        sim.fused_inner_steps = None
-    return med_xla, "xla_lean_scan"
+    sources, Mosaic limits) leaves the XLA number standing.
+
+    ``xy_rank2_first``: try the XY-rank-2 kernel layout first — required
+    for coupled LandModel kernels, whose rank-1 layout aborts the Mosaic
+    compiler (round-4 bisect; ops/fused_step.py xy_rank2). The other
+    layout is attempted as fallback either way."""
+    best, path = med_xla, "xla_lean_scan"
+    orders = ((True, False) if xy_rank2_first else (False, True))
+    for rank2 in orders:
+        try:
+            sim.fused_inner_steps, sim.fused_block_cells = inner, block
+            sim.fused_xy_rank2 = rank2
+            roll = sim._rollout_fn(steps)
+            med_f, _, _ = _time_blocks(roll, sim.state, dt,
+                                       lambda s: s.prognostic["internal_energy"],
+                                       reps=3)
+            if med_f < best:
+                best = med_f
+                path = f"pallas_fused_{block}x{inner}" + ("_xyr2" if rank2
+                                                         else "")
+            break  # first layout that compiles is measured; don't pay a
+            # second multi-minute Mosaic compile for the alternate layout
+        except Exception:
+            continue
+        finally:
+            sim.fused_inner_steps = None
+            sim.fused_xy_rank2 = False
+    return best, path
 
 
 def _emit(name, cells, steps, med_s, compile_s, dt, extra=None):
@@ -210,7 +225,7 @@ def config4_land_coupled_n145(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 600.0,
                                 lambda s: s.prognostic["internal_energy"])
-    med, path = _best_of_fused(sim, steps, 600.0, med)
+    med, path = _best_of_fused(sim, steps, 600.0, med, xy_rank2_first=True)
     _emit("land_coupled_n145", grid.cells, steps, med, comp, 600.0,
           {"land_cells": int(grid.n_land), "nz": 20, "rollout_path": path})
 

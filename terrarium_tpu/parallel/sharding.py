@@ -158,7 +158,7 @@ def make_sharded_fused_rollout(model, timestepper, ctx, input_sources=(), *,
                                mesh: Optional[Mesh] = None, dt: float,
                                inner_steps: int, block_cells: int = 1024,
                                unroll: int = 1, axis_name: str = CELL_AXIS,
-                               interpret=None):
+                               interpret=None, xy_rank2: bool = False):
     """Fused lean Pallas rollout under a device mesh.
 
     A bare `pallas_call` has no SPMD partitioning rule — under jit with
@@ -193,7 +193,7 @@ def make_sharded_fused_rollout(model, timestepper, ctx, input_sources=(), *,
     fused = make_fused_lean_rollout(
         local_model, timestepper, ctx, local_sources, dt=dt,
         inner_steps=inner_steps, block_cells=min(block_cells, local),
-        unroll=unroll, interpret=interpret)
+        unroll=unroll, interpret=interpret, xy_rank2=xy_rank2)
 
     def rollout(state, n: int, ts_srcs=None):
         if ts_srcs is None:

@@ -215,7 +215,8 @@ class Simulation:
                     self.input_sources, mesh=self.mesh, dt=dt0,
                     inner_steps=inner,
                     block_cells=int(self.fused_block_cells),
-                    unroll=int(self.fused_unroll))
+                    unroll=int(self.fused_unroll),
+                    xy_rank2=bool(self.fused_xy_rank2))
             else:
                 from ..ops.fused_step import make_fused_lean_rollout
 
