@@ -161,8 +161,12 @@ def config2_implicit(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 900.0,
                                 lambda s: s.prognostic["internal_energy"])
+    # the implicit step (assemble + PCR) traces into the fused kernel too
+    # (tests/test_fused_step.py); inner=48 keeps the larger implicit body
+    # inside the Mosaic compile budget (r4; the explicit kernel uses 144)
+    med, path = _best_of_fused(sim, steps, 900.0, med, inner=48)
     _emit("column_implicit_tridiag", cells, steps, med, comp, 900.0,
-          {"solver": "pcr"})
+          {"solver": "pcr", "rollout_path": path})
 
 
 def config3_global_heat_n72(tt):

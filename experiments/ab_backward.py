@@ -74,10 +74,6 @@ def main():
         "grad_none": (dict(), "grad"),
         "grad_per_step": (dict(remat=True), "grad"),
         f"grad_seg{sqrt_seg}": (dict(segment=sqrt_seg), "grad"),
-        f"grad_seg{sqrt_seg * 2}": (dict(segment=sqrt_seg * 2), "grad"),
-        "grad_dots": (dict(remat=True,
-                           policy=jax.checkpoint_policies.dots_saveable),
-                      "grad"),
         "grad_lean": (dict(lean=True), "grad"),
         "grad_lean_remat": (dict(lean=True, remat=True), "grad"),
     }

@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 YEAR_STEPS = 365 * 24 * 60  # dt=60 -> 525,600
 DT = 60.0
-CHUNK = 144 * 365  # ~36.5 days per host round-trip; 10 chunks/year
+CHUNK = 1440  # 1 simulated day per chunk: daily budget sampling
+# (36.5-day sampling could not integrate the spiky post-init boundary
+# transients; measured 83x energy-flux integral error at 10 samples/yr)
 
 
 def _sha(arr):
@@ -149,6 +151,22 @@ def run(quick=False):
             break
     wall_total = time.perf_counter() - t_start
 
+    # uninstrumented throughput: the daily budget callbacks cost ~0.9 s of
+    # host round-trip each (0.14 s of chip compute per simulated day), so
+    # the instrumented wall time is NOT the production speed — measure the
+    # compiled rollout back-to-back without callbacks
+    roll = sim._rollout_fn(chunk)
+    s = sim.state
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        s = roll(s, DT)
+        jax.block_until_ready(s.prognostic["internal_energy"])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    thr = sim.model.grid.cells * chunk / med
+    sypd_clean = (chunk * DT / (365.0 * 86400.0)) / (med / 86400.0)
+
     rep = tracker.report(sim)
     cells = sim.model.grid.cells
     sim_years = float(sim.state.clock.time) / (365.0 * 86400.0)
@@ -161,8 +179,10 @@ def run(quick=False):
         "steps": steps, "dt": DT, "cells": cells,
         "land_cells": int(sim.model.grid.n_land),
         "wall_s": round(wall_total, 1),
-        "sypd": round(sypd, 2),
-        "cells_steps_per_s": round(cells * steps / wall_total / 1e6, 1),
+        "sypd_instrumented": round(sypd, 2),
+        "sypd": round(sypd_clean, 2),
+        "cells_steps_per_s_M": round(thr / 1e6, 1),
+        "budget_sampling": "daily (365 trapezoid samples)",
         "finite": all(r["finite"] for r in records),
         "budget": {k: {kk: (round(vv, 6) if abs(vv) > 1e-4 else vv)
                        for kk, vv in v.items()} for k, v in rep.items()},

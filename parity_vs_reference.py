@@ -58,8 +58,10 @@ def build_sim(mask_path: str, nf=np.float32, dt: float = 60.0):
                                     spacing=tt.ExponentialSpacing(N=30), nf=nf)
     hydrology = tt.SoilHydrology(vertical_flow=tt.RichardsEq())
     soil = tt.SoilEnergyWaterCarbon(hydrology=hydrology)
-    model = tt.SoilModel(grid=grid, soil=soil)
-    # SoilInitializer defaults (`soil_model_init.jl:6-152`) + annual cycle BC
+    # the protocol sets the coupled SoilInitializer explicitly
+    # (`soil_heat_hydrology_global.jl:41`): QuasiThermalSteadyState T +
+    # SaturationWaterTable water (`soil_model_init.jl:6-152`)
+    model = tt.SoilModel(grid=grid, soil=soil, initializer=tt.SoilInitializer())
     sim = tt.initialize(
         model, tt.ForwardEuler(dt=dt),
         boundary_conditions=tt.PrescribedSurfaceTemperature(
