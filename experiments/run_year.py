@@ -232,8 +232,8 @@ def run(quick=False):
             meta_steps=steps, meta_cells=cells)
         print("wrote YEAR_r04.json + tests/goldens/year_n145_endstate.npz")
     print(json.dumps({k: out[k] for k in
-                      ("wall_s", "sypd", "cells_steps_per_s", "finite",
-                       "checksums")}))
+                      ("wall_s", "sypd", "cells_steps_per_s_M", "finite",
+                       "checksums") if k in out}))
     return out
 
 
