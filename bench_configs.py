@@ -229,7 +229,10 @@ def config4_land_coupled_n145(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 600.0,
                                 lambda s: s.prognostic["internal_energy"])
-    med, path = _best_of_fused(sim, steps, 600.0, med, xy_rank2_first=True)
+    # block 640 won the round-4 coupled sweep (410.9M vs 400.7M at 512;
+    # 768:406.3, 896:400.9, 1024/2048 slower — /tmp sweep logs, PARITY.md)
+    med, path = _best_of_fused(sim, steps, 600.0, med, block=640,
+                               xy_rank2_first=True)
     _emit("land_coupled_n145", grid.cells, steps, med, comp, 600.0,
           {"land_cells": int(grid.n_land), "nz": 20, "rollout_path": path})
 
