@@ -305,8 +305,11 @@ def config6_grad_n145_coupled(tt):
                     "saturation_water_ice": lambda x, z: np.minimum(
                         1.0, 0.6 - 0.04 * z)},
                 boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+            # lean-carry per-step remat won the round-4 backward A/B
+            # (42.4 vs 41.0M per-step, 22.1M sqrt-N seg; no-remat fails to
+            # compile remotely -- experiments/ab_backward.py)
             roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
-                                   steps=steps, remat=True)
+                                   steps=steps, remat=True, lean=True)
             out = roll(sim.state, dt)
             return (jnp.mean(out.temperature)
                     + jnp.mean(out.saturation_water_ice))

@@ -84,15 +84,22 @@ def main():
             loss = make_loss(kw)
             fn = jax.jit(loss) if mode == "fwd" else \
                 jax.jit(jax.value_and_grad(loss))
+            def sync(o):
+                # value materialization, not block_until_ready: the remote
+                # backend's ready-wait returns immediately for scalar
+                # results (measured 0.0 s medians), so transfer the value
+                return (float(o[0]) + float(o[1])) if mode == "grad" \
+                    else float(o)
+
             t0 = time.perf_counter()
             out = fn(x0)
-            jax.block_until_ready(out)
+            sync(out)
             compile_s = time.perf_counter() - t0
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 out = fn(x0)
-                jax.block_until_ready(out)
+                sync(out)
                 times.append(time.perf_counter() - t0)
             med = float(np.median(times))
             g = float(out[1]) if mode == "grad" else None
