@@ -84,8 +84,12 @@ class Simulation:
         #: tests/test_fused_step.py); on-chip A/B:
         #: experiments/ab_fused_rollout.py.
         self.fused_inner_steps = None
-        #: cell-block width of the fused kernel (VMEM tile).
-        self.fused_block_cells = 1024
+        #: cell-block width of the fused kernel (VMEM tile). None = auto
+        #: from the round-4 grid sweep (SWEEP_r04.json): 256 for small
+        #: grids (<=8192 cells), else 512 (512 beat 256/1024 at every size
+        #: >= 131k; the coupled LandModel config separately measured best
+        #: at 640 — set explicitly for that workload).
+        self.fused_block_cells = None
         #: in-kernel step-loop unroll of the fused kernel (cross-step code
         #: motion for Mosaic; raises compile time).
         self.fused_unroll = 1
@@ -198,7 +202,9 @@ class Simulation:
         import jax
 
         inner = int(self.fused_inner_steps)
-        key = ("fused", n_inner, inner, int(self.fused_block_cells),
+        block = int(self.fused_block_cells) if self.fused_block_cells \
+            else (256 if self.model.grid.cells <= 8192 else 512)
+        key = ("fused", n_inner, inner, block,
                int(self.fused_unroll), bool(self.fused_xy_rank2),
                id(self.mesh))
         if key not in self._rollout_fns:
@@ -214,7 +220,7 @@ class Simulation:
                     self.model, self.timestepper, self.ctx,
                     self.input_sources, mesh=self.mesh, dt=dt0,
                     inner_steps=inner,
-                    block_cells=int(self.fused_block_cells),
+                    block_cells=block,
                     unroll=int(self.fused_unroll),
                     xy_rank2=bool(self.fused_xy_rank2))
             else:
@@ -223,7 +229,7 @@ class Simulation:
                 fused = make_fused_lean_rollout(
                     self.model, self.timestepper, self.ctx,
                     self.input_sources, dt=dt0, inner_steps=inner,
-                    block_cells=int(self.fused_block_cells),
+                    block_cells=block,
                     unroll=int(self.fused_unroll),
                     xy_rank2=bool(self.fused_xy_rank2))
             # time-varying sources enter as pytree ARGUMENTS so the
