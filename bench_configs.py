@@ -164,7 +164,9 @@ def config2_implicit(tt):
     # the implicit step (assemble + PCR) traces into the fused kernel too
     # (tests/test_fused_step.py); inner=48 keeps the larger implicit body
     # inside the Mosaic compile budget (r4; the explicit kernel uses 144)
-    med, path = _best_of_fused(sim, steps, 900.0, med, inner=48)
+    # round-4 implicit sweep: i48_b384 177.0M; 512x48 174.7, 96x512 174.7,
+    # 640/768 slower — plateaued on the PCR solve, not launches
+    med, path = _best_of_fused(sim, steps, 900.0, med, inner=48, block=384)
     _emit("column_implicit_tridiag", cells, steps, med, comp, 900.0,
           {"solver": "pcr", "rollout_path": path})
 
