@@ -1,13 +1,23 @@
-"""Minimal repro: Mosaic compiler CHECK-crash on the fused coupled LandModel.
+"""Mosaic compiler CHECK-crash repro: fused coupled LandModel, rank-1 XY.
 
-Compiling the fused lean rollout of a `LandModel` (soil + SEB + surface
-hydrology + flux-BC coupling) on the axon backend aborts inside the Mosaic
-compiler (signal 6):
+STATUS (round 4): **dodged in production** — `fused_xy_rank2=True` keeps XY
+leaves rank-2 `(1, block)` in-kernel and the coupled kernel compiles and
+runs (410.9 M cells*steps/s at block 640, BENCH_CONFIGS_r04.jsonl). This
+script still compiles the RANK-1 layout, which aborts the compiler:
 
     F layout.h:320] Check failed: arr.size() >= layout_rank(implicit_dim) (1 vs. 2)
 
-Round-3 bisect (each variant run standalone on the chip, block 512 /
-inner 144):
+Keep running it on toolchain updates: when it stops crashing, the rank-1
+layout can be re-benchmarked against the rank-2 dodge.
+
+Round-4 op-level bisect (experiments/mosaic_bisect_land_r4.py, 7 ladders,
+~30 on-chip probes): NO single op triggers the crash — row-extraction ops,
+coupling BCs, ET, runoff, transcendental flux math, the skin formula,
+broadcast/astype, input reads, aux writes, and double carried-leaf updates
+all compile in isolation; a fully LINEAR two-sweep SEB stand-in still
+crashes. Layout inference fails on the compound graph.
+
+Round-3 model-level table (each variant standalone, block 512/inner 144):
 
 | kernel | result |
 |---|---|
@@ -17,22 +27,11 @@ inner 144):
 | Heun 2-stage kernel, inner 72 | OK (267 M) |
 | SurfaceEnergyModel (SEB alone), nz=20 | OK |
 | SoilModel + input-variable GroundHeatFlux BC, nz=20 | OK |
-| LandModel WITHOUT vegetation (soil+SEB+surface hydrology) | CRASH |
-| LandModel WITH vegetation | CRASH |
+| LandModel (with or without vegetation), rank-1 XY | CRASH |
+| LandModel, rank-2 XY (`fused_xy_rank2`) | OK (round 4) |
 
-=> the trigger is in the SURFACE HYDROLOGY trace (bare-ground ET +
-DirectSurfaceRunoff + the ET-sink/infiltration coupling), not vegetation,
-not the SEB, not the BC machinery, not the ring grid. Rewriting the one
-float-by-bool multiply (`infil * unsaturated` -> `where`) did NOT resolve
-it, so the bad layout comes from something subtler in this combination
-(candidates: the SEB ground-temperature top-row view feeding XY math, or
-the ET sink row-mask interaction). The interpret-mode
-Pallas path runs the identical trace bit-correctly
-(tests/test_fused_step.py::test_fused_lean_rollout_coupled_land_model), so
-this is a Mosaic layout-inference bug, not a tracing bug. `Simulation`
-falls back to the XLA lean scan automatically (`bench_configs._best_of_fused`).
-
-Run: python experiments/mosaic_land_repro.py   (expect the compiler abort)
+Run: python experiments/mosaic_land_repro.py   (expect the compiler abort
+while the toolchain bug persists)
 """
 from __future__ import annotations
 
