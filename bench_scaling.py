@@ -134,6 +134,44 @@ def main():
         "t_sharded_s": round(t_sharded, 4),
         "sharded_over_unsharded": round(t_sharded / t_unsharded, 3)}))
 
+    # the fused PRODUCTION path under the mesh (round 4): the same
+    # constant-compute comparison through `make_sharded_fused_rollout`
+    # (shard_map; interpret-mode kernels on CPU) vs the unsharded fused
+    # rollout — the number a real pod's weak scaling tracks for the
+    # fused path (collective-free by construction, test_sharding.py)
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+    from terrarium_tpu.parallel.sharding import make_sharded_fused_rollout
+
+    inner = args.steps
+    fused1 = make_fused_lean_rollout(
+        sim.model, sim.timestepper, sim.ctx, sim.input_sources,
+        dt=60.0, inner_steps=inner, block_cells=512)
+    fusedN = make_sharded_fused_rollout(
+        sim.model, sim.timestepper, sim.ctx, sim.input_sources,
+        mesh=cell_mesh(all_devices), dt=60.0, inner_steps=inner,
+        block_cells=512)
+
+    def timed_fused(fn, state):
+        r = jax.jit(lambda s: fn(s, args.steps, ()))
+        state = r(state)
+        float(np.asarray(jax.numpy.sum(state.prognostic["internal_energy"])))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = r(state)
+            float(np.asarray(jax.numpy.sum(
+                state.prognostic["internal_energy"])))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    tf1 = timed_fused(fused1, sim.state)
+    tfN = timed_fused(fusedN, shard_state(sim.state, cell_mesh(all_devices)))
+    print(json.dumps({
+        "metric": "fused_shardmap_overhead_constant_compute",
+        "cells": cells, "devices": args.devices,
+        "t_unsharded_s": round(tf1, 4), "t_sharded_s": round(tfN, 4),
+        "sharded_over_unsharded": round(tfN / tf1, 3)}))
+
 
 if __name__ == "__main__":
     main()
