@@ -237,6 +237,7 @@ class BudgetTracker:
     int_water: Any
     int_energy: Any
     rule: str = "trapezoid"
+    _last: Any = None
 
     @staticmethod
     def _rates(sim):

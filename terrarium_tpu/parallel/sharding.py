@@ -103,9 +103,15 @@ def shard_sources(sources, cells: int, mesh: Optional[Mesh] = None,
 
     def place(src):
         if isinstance(src, TimeSeriesInputSource):
+            # (T, cells) series shard on cells; (T,) scalar series have NO
+            # cell axis — their trailing axis is TIME and must replicate
+            def series_leaf(v):
+                v = jax.numpy.asarray(v)
+                return cellwise(v) if v.ndim >= 2 else jax.device_put(v, rep)
+
             return TimeSeriesInputSource(
                 times=jax.device_put(jax.numpy.asarray(src.times), rep),
-                series={k: cellwise(v) for k, v in src.series.items()},
+                series={k: series_leaf(v) for k, v in src.series.items()},
                 dims=src.dims)
         if isinstance(src, FieldInputSource):
             return FieldInputSource(
@@ -145,9 +151,11 @@ def _localize_source(src, local_cells: int):
             else v
 
     if isinstance(src, TimeSeriesInputSource):
+        # a (T,) scalar series has no cell axis — never cut its time axis
         return TimeSeriesInputSource(
             times=np.asarray(src.times),
-            series={k: cut(v) for k, v in src.series.items()}, dims=src.dims)
+            series={k: (cut(v) if np.ndim(v) >= 2 else np.asarray(v))
+                    for k, v in src.series.items()}, dims=src.dims)
     if isinstance(src, FieldInputSource):
         return FieldInputSource(fields={k: cut(v) for k, v in src.fields.items()},
                                 dims=src.dims)
@@ -205,9 +213,12 @@ def make_sharded_fused_rollout(model, timestepper, ctx, input_sources=(), *,
         from ..io.input_sources import TimeSeriesInputSource
 
         def src_spec(src):
+            # (T,) scalar series replicate (their only axis is TIME);
+            # (T, cells) series shard on cells
             return TimeSeriesInputSource(
                 times=P(),
-                series={k: _spec_for(v, axis_name)
+                series={k: (_spec_for(v, axis_name)
+                            if getattr(v, "ndim", 0) >= 2 else P())
                         for k, v in src.series.items()},
                 dims=src.dims)
 

@@ -290,3 +290,46 @@ def test_simulation_fused_path_on_mesh():
         np.asarray(sim.state.prognostic["internal_energy"]),
         np.asarray(ref.state.prognostic["internal_energy"]),
         rtol=1e-12, atol=0)
+
+
+def test_sharded_scalar_time_series_replicates_time_axis():
+    """A (T,) scalar forcing series has NO cell axis: shard_sources must
+    replicate it (sharding its trailing axis would shard TIME), and the
+    sharded fused rollout must localize only (T, cells) series. Round-4
+    review fix."""
+    from terrarium_tpu.parallel.sharding import make_sharded_fused_rollout
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells = 64
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float32)
+    model = tt.SoilModel(grid=grid)
+    hours = np.arange(0.0, 16 * 3600.0, 3600.0)
+    ts = (5.0 + 4.0 * np.sin(2 * np.pi * hours / 86400.0)).astype(np.float32)
+    src = tt.TimeSeriesInputSource(times=hours,
+                                   series={"surface_temperature": ts})
+    sim = tt.initialize(
+        model, tt.ForwardEuler(dt=900.0),
+        initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(
+            "surface_temperature"),
+        input_sources=(src,))
+    mesh = cell_mesh()
+    sources_sharded = shard_sources(sim.input_sources, cells, mesh)
+    leaf = sources_sharded[0].series["surface_temperature"]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec(), leaf.sharding
+
+    fused1 = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                     sim.input_sources, dt=900.0,
+                                     inner_steps=4, block_cells=8,
+                                     interpret=True)
+    out1 = jax.jit(lambda s: fused1(s, 16))(sim.state)
+    fusedN = make_sharded_fused_rollout(sim.model, sim.timestepper, sim.ctx,
+                                        sim.input_sources, mesh=mesh,
+                                        dt=900.0, inner_steps=4,
+                                        block_cells=8, interpret=True)
+    outN = jax.jit(lambda s, t: fusedN(s, 16, t))(
+        shard_state(sim.state, mesh), sources_sharded)
+    np.testing.assert_array_equal(
+        np.asarray(out1.prognostic["internal_energy"]),
+        np.asarray(outN.prognostic["internal_energy"]))
