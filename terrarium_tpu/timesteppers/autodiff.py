@@ -56,6 +56,11 @@ def make_rollout_fn(model, timestepper, ctx, input_sources=(), *,
     """
     ckpt_kwargs = {} if policy is None else {"policy": policy}
 
+    if lean and segment is not None:
+        raise ValueError("lean=True composes with per-step remat/policies, "
+                         "not with segment= (the lean carry already "
+                         "minimizes per-boundary residuals)")
+
     if lean and hasattr(timestepper, "pre_closure_step"):
         from ..utils.scan_dce import lean_rollout
 
