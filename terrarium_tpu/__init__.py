@@ -110,6 +110,7 @@ from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
                         load_field_time_series)
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.forcing_pipeline import ChunkedForcingPipeline
+from .parallel.halo import lateral_diffusion_forcing, neighbor_shift
 from .parallel.sharding import (cell_mesh, initialize_distributed,
                                 shard_sources, shard_state)
 from .diagnostics.budget import BudgetTracker, energy_column, energy_rates, water_column, water_rates
