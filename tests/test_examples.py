@@ -20,6 +20,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
     ("extending_exp_growth.py", []),
     ("land_snow_winter.py", ["--days-per-season", "2"]),
     ("soil_heat_global_era5.py", ["--days", "1", "--nz", "8"]),
+    ("budget_tracking.py", []),
 ])
 def test_example_runs(script, argv, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # scripts may write output files
