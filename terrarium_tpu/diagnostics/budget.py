@@ -289,8 +289,12 @@ class BudgetTracker:
     def report(self, sim=None) -> Dict[str, Dict[str, float]]:
         if sim is not None:
             w, e, _, _ = self._rates(sim)
-        else:
+        elif self._last is not None:
             w, e = self._last
+        else:
+            # no callback has fired yet (e.g. report() right after start(),
+            # or callback_interval > steps): the inventory is unchanged
+            w, e = self.water0, self.energy0
         out = {}
         for name, now, then, integ in (
                 ("water", w["total"], self.water0["total"], self.int_water),

@@ -241,7 +241,8 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                             block_cells: int = 1024,
                             unroll: int = 1,
                             interpret: Optional[bool] = None,
-                            xy_rank2: bool = False):
+                            xy_rank2: bool = False,
+                            apply_closure: bool = True):
     """Build ``rollout(state, n) -> state`` executing ``n`` steps with the
     VMEM-resident fused kernel, carrying only the LIVE state leaves.
 
@@ -353,6 +354,12 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             raise ValueError(f"n={n} not a multiple of inner_steps={inner_steps}")
         runtime_ts = ([d["src"] for d in ts_sources] if ts_srcs is None
                       else list(ts_srcs))
+        if len(runtime_ts) != len(ts_sources):
+            raise ValueError(
+                f"ts_srcs has {len(runtime_ts)} sources but the rollout was "
+                f"built with {len(ts_sources)} time-varying sources; pass "
+                f"exactly one runtime source per build-time source, in the "
+                f"same order")
         # only series VALUES may differ at runtime: t0/dts/T/W are baked
         # into the kernel at build time, so silently-shifted time axes
         # would interpolate against stale metadata
@@ -552,6 +559,12 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             else:
                 new_leaves.append(jnp.zeros_like(leaf))
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        if not apply_closure:
+            # raw ``pre_closure_step^n`` output (dead leaves zero): the
+            # segment form used by the fused-gradient rollout
+            # (`timesteppers/fused_grad.py`), which chains segments and
+            # applies the closure once at the end
+            return state
         # closure ∘ pre_closure_step^n == step^n on the prognostics
         return model.closure(state, ctx)
 

@@ -352,7 +352,7 @@ def div_faces(q, dz):
     return (q[1:] - q[:-1]) / dz
 
 
-def apply_flux_bcs(tend, var_bcs, state, dz):
+def apply_flux_bcs(tend, var_bcs, state, dz, xy=None):
     """Add Flux-BC contributions to a tendency array.
 
     Replicates `compute_z_bcs!` (reference
@@ -361,16 +361,25 @@ def apply_flux_bcs(tend, var_bcs, state, dz):
     ``tend[top] -= q_top / dz[top]`` and ``tend[bottom] += q_bot / dz[bottom]``
     with fluxes positive in +z. For XY tendencies (1D arrays) only a 'top'
     Flux BC applies and ``dz`` is ignored (the quantity is per-area already).
+
+    ``xy``: the variable's *declared* rank (True = XY, False = XYZ), passed
+    by callers that know it (the timesteppers thread it from the model's
+    variable specs). When ``None``, falls back to a shape heuristic that is
+    ambiguous on single-layer grids and on broadcast ``(1, cells)`` XYZ
+    tendencies — prefer passing it explicitly.
     """
     if not var_bcs:
         return tend
     top = var_bcs.get("top")
     bot = var_bcs.get("bottom")
     dz2 = dz if dz.ndim == 2 else dz[:, None]
-    # XY tendencies: rank-1, or a single-row rank-2 leaf on a multi-layer
-    # grid (the fused kernel's XY-rank-2 mode keeps XY leaves as (1, cells))
-    is_xy = tend.ndim == 1 or (tend.ndim == 2 and tend.shape[0] == 1
-                               and dz2.shape[0] != 1)
+    if xy is None:
+        # XY tendencies: rank-1, or a single-row rank-2 leaf on a multi-layer
+        # grid (the fused kernel's XY-rank-2 mode keeps XY leaves as
+        # (1, cells))
+        xy = tend.ndim == 1 or (tend.ndim == 2 and tend.shape[0] == 1
+                                and dz2.shape[0] != 1)
+    is_xy = xy
     if is_xy:
         if isinstance(top, Flux):
             tend = tend - resolve_bc_value(top.value, state)

@@ -101,9 +101,24 @@ class State:
                     cshape = getattr(cur, "shape", None)
                     vshape = getattr(val, "shape", None)
                     if (cshape is not None and vshape is not None
-                            and vshape != cshape
-                            and int(np.prod(vshape)) == int(np.prod(cshape))):
-                        val = jnp.reshape(val, cshape)
+                            and vshape != cshape):
+                        # only the documented row cases may be reshaped: one
+                        # shape is the other with a prepended leading 1. Any
+                        # other same-size mismatch (e.g. a transposed array)
+                        # would be silently row-major-scrambled — raise.
+                        longer, shorter = ((vshape, cshape)
+                                           if len(vshape) > len(cshape)
+                                           else (cshape, vshape))
+                        if (len(longer) == len(shorter) + 1
+                                and longer[0] == 1
+                                and tuple(longer[1:]) == tuple(shorter)):
+                            val = jnp.reshape(val, cshape)
+                        else:
+                            raise ValueError(
+                                f"update for {name!r} has shape {vshape}, "
+                                f"incompatible with the state leaf's "
+                                f"{cshape} (only a leading length-1 axis "
+                                f"may differ)")
                     new[g][name] = val
                     break
             else:

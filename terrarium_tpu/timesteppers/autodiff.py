@@ -61,7 +61,13 @@ def make_rollout_fn(model, timestepper, ctx, input_sources=(), *,
                          "not with segment= (the lean carry already "
                          "minimizes per-boundary residuals)")
 
-    if lean and hasattr(timestepper, "pre_closure_step"):
+    if lean and not hasattr(timestepper, "pre_closure_step"):
+        raise ValueError(
+            f"lean=True requires a timestepper with pre_closure_step; "
+            f"{type(timestepper).__name__} has none (a silent fall-through "
+            f"would carry O(full-state) backward residuals)")
+
+    if lean:
         from ..utils.scan_dce import lean_rollout
 
         def step(state, dt):

@@ -30,7 +30,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from .stepping import explicit_step, update_state
+from .stepping import explicit_step, prog_xy_map, update_state
 from ..ops.bcs import Dirichlet, get_bc
 from ..ops.tridiag import tridiag_solve, tridiag_solve_pcr
 from ..ops.vertical_ops import apply_flux_bcs
@@ -169,6 +169,7 @@ class ImplicitEuler:
 
     def _body(self, model, state: State, ctx, input_sources, dt) -> State:
         grid = model.grid
+        xy = prog_xy_map(model)
         state = update_state(model, state, ctx, input_sources)
 
         # collect implicit terms from the model's processes
@@ -180,7 +181,9 @@ class ImplicitEuler:
         for name in state.prognostic:
             var_bcs = (ctx.bcs or {}).get(name)
             if var_bcs:
-                tend[name] = apply_flux_bcs(tend[name], var_bcs, state, grid.dz)
+                tend[name] = apply_flux_bcs(
+                    tend[name], var_bcs, state, grid.dz,
+                    xy=None if xy is None else xy["vars"].get(name))
         state = dataclasses.replace(state, tendencies=tend)
 
         prog = dict(state.prognostic)
@@ -214,8 +217,9 @@ class ImplicitEuler:
             for name in st.prognostic:
                 var_bcs = (ctx.bcs or {}).get(name)
                 if var_bcs:
-                    tend_k[name] = apply_flux_bcs(tend_k[name], var_bcs, st,
-                                                  grid.dz)
+                    tend_k[name] = apply_flux_bcs(
+                        tend_k[name], var_bcs, st, grid.dz,
+                        xy=None if xy is None else xy["vars"].get(name))
             st = dataclasses.replace(st, tendencies=tend_k)
             for t in (model.implicit_terms(st, ctx)
                       if hasattr(model, "implicit_terms") else ()):
@@ -227,7 +231,9 @@ class ImplicitEuler:
         state = dataclasses.replace(state, prognostic=prog)
 
         if state.namespaces:
-            ns = {k: explicit_step(v, grid, ctx.bcs, dt)
+            ns = {k: explicit_step(
+                v, grid, ctx.bcs, dt,
+                xy=None if xy is None else xy["ns"].get(k))
                   for k, v in state.namespaces.items()}
             state = dataclasses.replace(state, namespaces=ns)
 

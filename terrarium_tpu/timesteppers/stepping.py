@@ -15,7 +15,26 @@ from ..ops.vertical_ops import apply_flux_bcs
 from ..state import State, reset_tendencies
 
 __all__ = ["ForwardEuler", "Heun", "apply_forcings", "explicit_step",
-           "update_state"]
+           "prog_xy_map", "update_state"]
+
+
+def prog_xy_map(model):
+    """Map each prognostic name to its declared rank (True = XY), nested per
+    namespace: ``{"vars": {name: bool}, "ns": {ns_name: <same>}}``. Threads
+    the variable specs into `ops.vertical_ops.apply_flux_bcs` so Flux-BC
+    routing never relies on the ambiguous array-shape heuristic (wrong for
+    single-layer grids / broadcast XYZ tendencies). Trace-time only."""
+    from ..variables import Variables, XY, variables_of
+
+    def of_vars(v):
+        return {"vars": {n: isinstance(s.dims, XY)
+                         for n, s in v.prognostic.items()},
+                "ns": {k: of_vars(nv) for k, nv in v.namespaces.items()}}
+
+    try:
+        return of_vars(Variables(list(variables_of(model))))
+    except Exception:  # exotic duck-typed models: keep the heuristic
+        return None
 
 
 def apply_forcings(state: State, grid, forcings) -> State:
@@ -40,21 +59,26 @@ def apply_forcings(state: State, grid, forcings) -> State:
     return state
 
 
-def explicit_step(state: State, grid, bcs, dt) -> State:
+def explicit_step(state: State, grid, bcs, dt, xy=None) -> State:
     """``u += du/dt * dt`` for every prognostic variable, after adding
     Flux-BC contributions to the tendencies (reference
     `abstract_timestepper.jl:65-141`, `compute_z_bcs!`). Recurses into
-    namespaces."""
+    namespaces. ``xy`` is an optional :func:`prog_xy_map` (declared variable
+    ranks for Flux-BC routing)."""
     tend = dict(state.tendencies)
     prog = dict(state.prognostic)
     for name in prog:
         var_bcs = (bcs or {}).get(name)
         if var_bcs:
-            tend[name] = apply_flux_bcs(tend[name], var_bcs, state, grid.dz)
+            tend[name] = apply_flux_bcs(
+                tend[name], var_bcs, state, grid.dz,
+                xy=None if xy is None else xy["vars"].get(name))
         prog[name] = prog[name] + tend[name] * dt
     state = dataclasses.replace(state, prognostic=prog, tendencies=tend)
     if state.namespaces:
-        ns = {k: explicit_step(v, grid, bcs, dt) for k, v in state.namespaces.items()}
+        ns = {k: explicit_step(v, grid, bcs, dt,
+                               xy=None if xy is None else xy["ns"].get(k))
+              for k, v in state.namespaces.items()}
         state = dataclasses.replace(state, namespaces=ns)
     return state
 
@@ -82,8 +106,9 @@ class ForwardEuler:
 
     def step(self, model, state: State, ctx, input_sources, dt) -> State:
         grid = model.grid
+        xy = prog_xy_map(model)
         state = update_state(model, state, ctx, input_sources)
-        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         state = model.timestep(state, ctx, dt)
         state = model.closure(state, ctx)
         return state.tick(dt)
@@ -97,9 +122,10 @@ class ForwardEuler:
         state, ``closure ∘ (pre_closure_step)^n ∘ …`` equals ``step^n``
         exactly (see `utils/scan_dce.lean_rollout`)."""
         grid = model.grid
+        xy = prog_xy_map(model)
         state = model.closure(state, ctx)
         state = update_state(model, state, ctx, input_sources)
-        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         state = model.timestep(state, ctx, dt)
         return state.tick(dt)
 
@@ -117,10 +143,11 @@ class Heun:
 
     def step(self, model, state: State, ctx, input_sources, dt) -> State:
         grid = model.grid
+        xy = prog_xy_map(model)
         state = update_state(model, state, ctx, input_sources)
 
         # predictor stage (functional: no explicit stage copy needed)
-        stage = explicit_step(state, grid, ctx.bcs, dt)
+        stage = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         stage = model.timestep(stage, ctx, dt)
         stage = model.closure(stage, ctx)
         stage = stage.tick(dt)
@@ -132,7 +159,7 @@ class Heun:
         state = dataclasses.replace(state, tendencies=avg)
 
         # corrector
-        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         state = model.timestep(state, ctx, dt)
         state = model.closure(state, ctx)
         return state.tick(dt)
@@ -142,10 +169,11 @@ class Heun:
         the trailing closure of `step` moves to the front; the predictor
         stage's internal closure stays in place."""
         grid = model.grid
+        xy = prog_xy_map(model)
         state = model.closure(state, ctx)
         state = update_state(model, state, ctx, input_sources)
 
-        stage = explicit_step(state, grid, ctx.bcs, dt)
+        stage = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         stage = model.timestep(stage, ctx, dt)
         stage = model.closure(stage, ctx)
         stage = stage.tick(dt)
@@ -155,6 +183,6 @@ class Heun:
                for k in state.tendencies}
         state = dataclasses.replace(state, tendencies=avg)
 
-        state = explicit_step(state, grid, ctx.bcs, dt)
+        state = explicit_step(state, grid, ctx.bcs, dt, xy=xy)
         state = model.timestep(state, ctx, dt)
         return state.tick(dt)

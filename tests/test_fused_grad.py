@@ -1,0 +1,166 @@
+"""Gradient equivalence of the fused-forward custom_vjp rollout.
+
+`timesteppers/fused_grad.make_fused_grad_rollout` runs the forward pass on
+the fused Pallas lean kernel (interpret mode here) and backpropagates with
+per-segment XLA recompute (`utils/scan_dce.lean_chain`). Its gradients must
+match `jax.grad` through the plain XLA remat rollout
+(`timesteppers/autodiff.make_rollout_fn`) to tight tolerance — both in the
+params argument and in the initial state.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import terrarium_tpu as tt
+from terrarium_tpu.timesteppers.autodiff import make_rollout_fn
+from terrarium_tpu.timesteppers.fused_grad import make_fused_grad_rollout
+
+CELLS, NZ, DT = 48, 10, 300.0
+
+
+def _grid(nf=np.float64):
+    return tt.ColumnGrid.of(cells=CELLS, spacing=tt.ExponentialSpacing(N=NZ),
+                            nf=nf)
+
+
+def _model_fn(grid):
+    def model_fn(log_ksat):
+        props = tt.ConstantSoilHydraulics(
+            sat_hydraulic_cond=jnp.exp(log_ksat),
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+        soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+            vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+        return tt.SoilModel(grid=grid, soil=soil)
+    return model_fn
+
+
+def _sim(model):
+    return tt.initialize(
+        model, tt.ForwardEuler(),
+        initializers={
+            "temperature": -1.0,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0,
+                                                            0.6 - 0.04 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+
+
+def _objective(out):
+    return (jnp.mean(out.temperature)
+            + jnp.mean(out.saturation_water_ice))
+
+
+X0 = float(np.log(1e-5))
+
+
+def _xla_value_grad(grid, steps):
+    model_fn = _model_fn(grid)
+
+    def loss(log_ksat):
+        model = model_fn(log_ksat)
+        sim = _sim(model)
+        roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
+                               steps=steps, remat=True, lean=True)
+        return _objective(roll(sim.state, DT))
+
+    return jax.jit(jax.value_and_grad(loss))(X0)
+
+
+def _fused_value_grad(grid, steps, inner, **kw):
+    model_fn = _model_fn(grid)
+
+    def loss(log_ksat):
+        sim = _sim(model_fn(X0))  # init doesn't depend on the param
+        roll = make_fused_grad_rollout(
+            model_fn, sim.timestepper, sim.ctx, (), steps=steps, dt=DT,
+            inner_steps=inner, block_cells=CELLS, interpret=True, **kw)
+        return _objective(roll(sim.state, log_ksat))
+
+    return jax.jit(jax.value_and_grad(loss))(X0)
+
+
+def test_fused_grad_matches_xla_grad():
+    grid = _grid()
+    v_x, g_x = _xla_value_grad(grid, steps=12)
+    v_f, g_f = _fused_value_grad(grid, steps=12, inner=4)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-10)
+    np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-9)
+    assert abs(float(g_f)) > 0.0  # a real gradient, not a silent zero
+
+
+def test_fused_grad_bwd_chunk_identical():
+    """`bwd_chunk` (checkpointed within-segment recompute) changes memory
+    scheduling only — gradients identical to the whole-segment vjp."""
+    grid = _grid()
+    v_a, g_a = _fused_value_grad(grid, steps=12, inner=6)
+    v_b, g_b = _fused_value_grad(grid, steps=12, inner=6, bwd_chunk=2)
+    np.testing.assert_allclose(float(v_b), float(v_a), rtol=1e-12)
+    np.testing.assert_allclose(float(g_b), float(g_a), rtol=1e-12)
+    v_c, g_c = _fused_value_grad(grid, steps=12, inner=6, bwd_remat=True)
+    np.testing.assert_allclose(float(v_c), float(v_a), rtol=1e-12)
+    np.testing.assert_allclose(float(g_c), float(g_a), rtol=1e-12)
+
+
+def test_fused_grad_wrt_initial_state():
+    """d(loss)/d(initial prognostics) through the custom_vjp chain matches
+    the XLA rollout's state gradient."""
+    grid = _grid()
+    model_fn = _model_fn(grid)
+    sim = _sim(model_fn(X0))
+    steps, inner = 8, 4
+
+    def loss_xla(u0):
+        st = sim.state.update(internal_energy=u0)
+        roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
+                               steps=steps, remat=True, lean=True)
+        return _objective(roll(st, DT))
+
+    def loss_fused(u0):
+        st = sim.state.update(internal_energy=u0)
+        roll = make_fused_grad_rollout(
+            model_fn, sim.timestepper, sim.ctx, (), steps=steps, dt=DT,
+            inner_steps=inner, block_cells=CELLS, interpret=True)
+        return _objective(roll(st, X0))
+
+    u0 = sim.state.prognostic["internal_energy"]
+    g_x = jax.jit(jax.grad(loss_xla))(u0)
+    g_f = jax.jit(jax.grad(loss_fused))(u0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=1e-8, atol=1e-18)
+
+
+def test_fused_grad_finite_difference():
+    grid = _grid()
+    steps, inner, h = 8, 4, 0.02
+    _, g_ad = _fused_value_grad(grid, steps=steps, inner=inner)
+    model_fn = _model_fn(grid)
+
+    def loss(log_ksat):
+        sim = _sim(model_fn(X0))
+        roll = make_fused_grad_rollout(
+            model_fn, sim.timestepper, sim.ctx, (), steps=steps, dt=DT,
+            inner_steps=inner, block_cells=CELLS, interpret=True)
+        return _objective(roll(sim.state, log_ksat))
+
+    jl = jax.jit(loss)
+    g_fd = (float(jl(X0 + h)) - float(jl(X0 - h))) / (2 * h)
+    np.testing.assert_allclose(float(g_ad), g_fd, rtol=5e-4)
+
+
+def test_fused_grad_rejects_bad_config():
+    grid = _grid()
+    model_fn = _model_fn(grid)
+    sim = _sim(model_fn(X0))
+    with pytest.raises(ValueError, match="multiple"):
+        make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (),
+                                steps=10, dt=DT, inner_steps=4)
+    with pytest.raises(ValueError, match="multiple"):
+        make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (),
+                                steps=12, dt=DT, inner_steps=6, bwd_chunk=4)
+    ts = tt.TimeSeriesInputSource(
+        times=np.array([0.0, 3600.0]),
+        series={"surface_temperature": np.zeros((2, CELLS), np.float32)})
+    with pytest.raises(ValueError, match="static"):
+        make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (ts,),
+                                steps=12, dt=DT, inner_steps=4)
