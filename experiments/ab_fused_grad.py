@@ -83,11 +83,11 @@ def main():
                                steps=steps, lean=True)
         return objective(roll(sim.state, 300.0))
 
-    def fused_loss(inner, block, chunk=None, remat=False):
+    def fused_loss(inner, block, chunk=None, remat=False, bwd="xla"):
         roll = make_fused_grad_rollout(
             model_fn, sim.timestepper, sim.ctx, (), steps=steps, dt=300.0,
             inner_steps=inner, block_cells=block, bwd_chunk=chunk,
-            bwd_remat=remat)
+            bwd_remat=remat, bwd=bwd)
 
         def loss(log_ksat):
             return objective(roll(sim.state, log_ksat))
@@ -105,15 +105,25 @@ def main():
         return loss
 
     variants = [
-        ("fwd_xla_lean", xla_fwd_loss, "fwd"),
-        ("fwd_fused_144x512", fused_fwd_loss(144, 512), "fwd"),
         ("grad_xla_lean_remat", xla_loss, "grad"),
-        ("grad_fused_i144_b512", fused_loss(144, 512), "grad"),
-        ("grad_fused_i144_b512_c48", fused_loss(144, 512, chunk=48), "grad"),
-        ("grad_fused_i48_b512", fused_loss(48, 512), "grad"),
-        ("grad_fused_i144_b512_remat", fused_loss(144, 512, remat=True),
+        ("grad_pallasbwd_i48_b256", fused_loss(48, 256, bwd="pallas"),
+         "grad"),
+        ("grad_pallasbwd_i48_b512", fused_loss(48, 512, bwd="pallas"),
+         "grad"),
+        ("grad_pallasbwd_i24_b512", fused_loss(24, 512, bwd="pallas"),
+         "grad"),
+        ("grad_pallasbwd_i96_b256", fused_loss(96, 256, bwd="pallas"),
          "grad"),
     ]
+    if "--full" in sys.argv:
+        variants += [
+            ("fwd_xla_lean", xla_fwd_loss, "fwd"),
+            ("grad_fused_i144_b512_c48", fused_loss(144, 512, chunk=48),
+             "grad"),
+            ("grad_fused_i48_b512", fused_loss(48, 512), "grad"),
+            ("grad_fused_i144_b512_remat", fused_loss(144, 512, remat=True),
+             "grad"),
+        ]
 
     for name, loss, mode in variants:
         try:

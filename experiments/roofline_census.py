@@ -237,7 +237,11 @@ def run_census():
 
 
 def run_micro():
-    """Chip micro-benchmarks: VPU FMA peak + exp throughput in Pallas."""
+    """Chip micro-benchmarks: VPU FMA peak + transcendental/div throughput
+    in Pallas. Mosaic fori_loop lowering needs unroll in {1, num_steps}, so
+    the op chain is fully unrolled; the per-op rate is derived from the
+    DIFFERENCE of two chain lengths, cancelling the constant tunnel/launch
+    overhead (~35 ms) and HBM read/write of the block."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -245,11 +249,10 @@ def run_micro():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    R = 512  # chained ops per element per kernel pass
     shape = (256, 512)
-    nblocks = 64
+    nblocks = 128
 
-    def make(kind):
+    def make(kind, R):
         def kernel(x_ref, o_ref):
             x = x_ref[...]
 
@@ -260,9 +263,11 @@ def run_micro():
                     return jnp.exp(v * np.float32(1e-3))
                 if kind == "div":
                     return np.float32(1.00001) / (v + np.float32(1.5))
+                if kind == "pow":
+                    return (v + np.float32(1.5)) ** np.float32(0.7071)
                 raise ValueError(kind)
 
-            o_ref[...] = jax.lax.fori_loop(0, R, body, x, unroll=8)
+            o_ref[...] = jax.lax.fori_loop(0, R, body, x, unroll=R)
 
         x = jnp.ones((shape[0], shape[1] * nblocks), jnp.float32)
         f = pl.pallas_call(
@@ -272,24 +277,31 @@ def run_micro():
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))
         return jax.jit(f), x
 
-    results = {}
-    for kind, flops_per in (("fma", 2.0), ("exp", 1.0), ("div", 1.0)):
-        f, x = make(kind)
+    def timed(kind, R, reps=5):
+        f, x = make(kind, R)
         y = f(x)
         float(jnp.sum(y))  # compile+sync
         times = []
-        for _ in range(5):
+        for _ in range(reps):
             t0 = time.perf_counter()
             y = f(x)
             float(jnp.sum(y))
             times.append(time.perf_counter() - t0)
-        med = float(np.median(times))
-        elems = x.size * R
+        return float(np.median(times)), x.size
+
+    results = {}
+    for kind, flops_per, (r1, r2) in (("fma", 2.0, (64, 512)),
+                                      ("exp", 1.0, (16, 128)),
+                                      ("pow", 1.0, (16, 128)),
+                                      ("div", 1.0, (64, 512))):
+        t1, size = timed(kind, r1)
+        t2, _ = timed(kind, r2)
+        rate = size * (r2 - r1) / max(t2 - t1, 1e-9)
         results[kind] = {
-            "median_s": round(med, 4),
-            "ops_per_s": elems / med,
-            "gops_per_s": round(elems / med / 1e9, 1),
-            "gflops_per_s": round(flops_per * elems / med / 1e9, 1),
+            "t_R%d_s" % r1: round(t1, 4), "t_R%d_s" % r2: round(t2, 4),
+            "ops_per_s": rate,
+            "gops_per_s": round(rate / 1e9, 1),
+            "gflops_per_s": round(flops_per * rate / 1e9, 1),
         }
         print(json.dumps({kind: results[kind]}), flush=True)
     return results

@@ -31,7 +31,51 @@ from jax.experimental import pallas as pl
 
 from ..grids.column import ColumnGrid
 
-__all__ = ["make_fused_step", "make_fused_lean_rollout"]
+__all__ = ["closure_convert_all", "make_fused_step", "make_fused_lean_rollout"]
+
+
+def closure_convert_all(fn, *sample_args):
+    """Like `jax.closure_convert`, but hoists ALL jaxpr constants — not just
+    traced ones. `jax.closure_convert` partitions constants by
+    "maybe-perturbed" and leaves CONCRETE arrays (e.g. a committed
+    ``jnp.exp(x)`` scalar stored in a process config) baked into the
+    converted function's jaxpr; a Pallas TPU kernel cannot capture
+    constants, so tracing such a model into the fused kernel failed with
+    "captures constants [f32[]]" (round-5 chip repro). Here every closure
+    constant becomes an explicit argument; weak Python literals stay inline
+    literals as before.
+
+    Returns ``(converted, consts)`` with the same calling convention as
+    `jax.closure_convert`: ``converted(*sample_like_args, *consts)``.
+    """
+    import jax.tree_util as jtu
+    from jax import core as jcore
+
+    flat, in_tree = jtu.tree_flatten(tuple(sample_args))
+
+    def flat_fn(*fa):
+        args = jtu.tree_unflatten(in_tree, fa)
+        return fn(*args)
+
+    closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat)
+    out_tree = jtu.tree_structure(out_shape)
+    consts = list(closed.consts)
+    n_args = len(sample_args)
+
+    def converted(*args_and_consts):
+        args = args_and_consts[:n_args]
+        cvals = list(args_and_consts[n_args:])
+        if len(cvals) != len(consts):
+            raise TypeError(f"converted expects {len(consts)} hoisted "
+                            f"consts, got {len(cvals)}")
+        fa, tree2 = jtu.tree_flatten(tuple(args))
+        if tree2 != in_tree:
+            raise TypeError("argument pytree structure changed between "
+                            "closure_convert_all and the converted call")
+        out_flat = jcore.eval_jaxpr(closed.jaxpr, cvals, *fa)
+        return jtu.tree_unflatten(out_tree, out_flat)
+
+    return converted, consts
 
 
 def _uniform_ts_meta(src):
@@ -165,7 +209,7 @@ def make_fused_step(model, timestepper, ctx, input_sources=(), *,
         # Mosaic cannot lower negative `lax.pad` (trimming) — trace the
         # physics with the bit-identical concat shift lowering instead.
         with force_concat_shifts():
-            converted, extra_consts = jax.closure_convert(step_fn, sample,
+            converted, extra_consts = closure_convert_all(step_fn, sample,
                                                           *coord_samples)
         consts = list(coord_arrays) + list(extra_consts)
         consts2d = [_to2d(c) for c in consts]
@@ -409,7 +453,7 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                 arr = jnp.broadcast_to(arr, (ts["T"], cells))
                 series_padded.append(_pad(arr))
         with force_concat_shifts():
-            converted, extra_consts = jax.closure_convert(step_fn, sample,
+            converted, extra_consts = closure_convert_all(step_fn, sample,
                                                           *coord_samples,
                                                           *win_samples)
         consts = list(coord_arrays) + list(extra_consts)

@@ -70,17 +70,36 @@ class SoilHydrology:
     closure_rel: SoilSaturationPressureClosure = SoilSaturationPressureClosure()
     hydraulic_properties: Any = dataclasses.field(default_factory=SoilHydraulicsSURFEX)
     vwc_forcing: Optional[Any] = None  # callable (state, grid) -> (Nz, cells)
+    #: Opt-in conservative correction of the saturation-adjustment bottom
+    #: clip. The reference clips a residual column deficit to zero with an
+    #: acknowledged "mass balance violation" comment
+    #: (`soil_hydrology.jl:214-218`) — water is CREATED (quantified at +2.2%
+    #: of inventory/year on the N145 year protocol, YEAR_r04.json). With
+    #: ``deficit_pool=True`` the clipped deficit is tracked in a prognostic
+    #: ``soil_water_deficit`` pool (same column units as
+    #: ``surface_excess_water``) and repaid from the surface-excess pool as
+    #: water becomes available; the budget counts it as negative inventory,
+    #: restoring exact closure (tests/test_budget.py, ExactBudget). Like
+    #: every other deviation fix (`consistent_units()`, ``.consistent()``),
+    #: the parity default is off.
+    deficit_pool: bool = False
 
     # -- variables --------------------------------------------------------
     def variables(self):
         if isinstance(self.vertical_flow, RichardsEq):
             # reference `soil_hydrology_rre.jl:20-26`
+            deficit = (prognostic(
+                "soil_water_deficit", XY(), units="m",
+                desc="Unmet column water deficit clipped at the bottom "
+                     "(deficit_pool corrected mode)"),) \
+                if self.deficit_pool else ()
             return (
                 prognostic("saturation_water_ice", XYZ(), closure=self.closure_rel,
                            domain=(0.0, 1.0),
                            desc="Saturation level of water+ice in the pore space"),
                 prognostic("surface_excess_water", XY(), units="m",
                            desc="Excess water at the soil surface in m^3/m^2"),
+                *deficit,
                 auxiliary("hydraulic_conductivity", XYZ(face=True), units="m/s",
                           desc="Hydraulic conductivity at cell faces"),
                 auxiliary("water_table", XY(), units="m",
@@ -146,8 +165,20 @@ class SoilHydrology:
         wt = jnp.min(masked, axis=0)
         return state.update(water_table=wt)
 
+    def _spill_scale(self, spill_row, por, sat):
+        """Top-layer spill into the surface-excess pool. Parity default: the
+        raw saturation*dz column (the reference's sweep bookkeeping — a
+        documented unit quirk: soil water changes by spill*porosity while
+        the pool gains the unscaled column). ``deficit_pool`` corrected
+        mode scales by the top-layer porosity so the pool transfer is
+        water-conserving (the pool and the budget count meters of water)."""
+        if not self.deficit_pool or por is None:
+            return spill_row
+        por_t = jnp.broadcast_to(por, sat.shape)[-1:]
+        return spill_row * por_t
+
     # -- saturation adjustment -------------------------------------------
-    def adjust_saturation_profile(self, state, grid):
+    def adjust_saturation_profile(self, state, grid, por=None):
         """Mass-conserving redistribution of over/under-saturation
         (reference `soil_hydrology.jl:185-218`): an upward sweep pushes excess
         water up (rescaled by thickness ratio), a downward sweep pulls
@@ -193,7 +224,9 @@ class SoilHydrology:
             if "surface_excess_water" in state:
                 # static slice + squeeze (Mosaic-compatible; `c[-1]` would
                 # lower to dynamic_slice, which Pallas TPU cannot lower)
-                surf = state.surface_excess_water + jnp.squeeze(c[-1:], axis=0)
+                spill = jnp.squeeze(self._spill_scale(c[-1:], por, sat),
+                                    axis=0)
+                surf = state.surface_excess_water + spill
 
             # downward sweep (top -> bottom): carry = deficit water column
             # [m] pulled from below; same recurrence on reversed suffix sums.
@@ -216,8 +249,9 @@ class SoilHydrology:
             surf = None
             if "surface_excess_water" in state:
                 # spill past the top layer: c_top = S_top - M_top
-                surf = state.surface_excess_water + jnp.squeeze(
-                    S[-1:] - M[-1:], axis=0)
+                spill = jnp.squeeze(
+                    self._spill_scale(S[-1:] - M[-1:], por, sat), axis=0)
+                surf = state.surface_excess_water + spill
 
             # down sweep suffix sums in closed form (no reverse cumsum):
             # Z[k] = cumulative thickness from the bottom = z_faces offsets
@@ -233,6 +267,27 @@ class SoilHydrology:
         sat_new = jnp.maximum(sat_up - c2_in / dz_col, 0.0)
 
         updates = {"saturation_water_ice": sat_new}
+        if self.deficit_pool and "soil_water_deficit" in state:
+            # corrected mode: the clipped residual deficit is c2 exiting the
+            # bottom row (the recurrence cascades all interior deficits down,
+            # so only the bottom exit carries unmet demand). The sweeps work
+            # in saturation*dz units; the water the clip CREATES is that
+            # times the bottom-layer porosity — store the debt in water
+            # meters and repay it 1:1 from the surface-excess pool (which
+            # the budget also counts in meters). The budget counts the debt
+            # as negative inventory (diagnostics/budget.py), restoring
+            # closure; repayment is an inventory-neutral pool transfer.
+            if por is None:
+                raise ValueError("deficit_pool=True requires the porosity "
+                                 "(adjust_saturation_profile(por=...))")
+            por_b = jnp.broadcast_to(por, sat.shape)[:1]
+            deficit_new = jnp.squeeze(c2[:1] * por_b, axis=0)
+            total = state.soil_water_deficit + deficit_new
+            if surf is not None:
+                repay = jnp.minimum(total, jnp.maximum(surf, 0.0))
+                surf = surf - repay
+                total = total - repay
+            updates["soil_water_deficit"] = total
         if surf is not None:
             updates["surface_excess_water"] = surf
         return state.update(updates)
@@ -348,9 +403,9 @@ class SoilHydrology:
         table, then Psi = psi_h + psi_m + psi_z."""
         if not isinstance(self.vertical_flow, RichardsEq):
             return state  # closure only defined for Richards flow
-        state = self.adjust_saturation_profile(state, grid)
-        state = self.compute_water_table(state, grid)
         por = soil.strat.bulk_porosity(soil.biogeochem, state, grid)
+        state = self.adjust_saturation_profile(state, grid, por=por)
+        state = self.compute_water_table(state, grid)
         sat = state.saturation_water_ice
         swrc = self.hydraulic_properties.swrc
         psi_m = swrc.inverse(sat * por, por)
@@ -369,5 +424,5 @@ class SoilHydrology:
         swrc = self.hydraulic_properties.swrc
         theta = swrc(psi_m, por)
         state = state.update(saturation_water_ice=theta / por)
-        state = self.adjust_saturation_profile(state, grid)
+        state = self.adjust_saturation_profile(state, grid, por=por)
         return self.compute_water_table(state, grid)

@@ -49,6 +49,7 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
                             input_sources=(), *, steps: int, dt: float,
                             inner_steps: int, block_cells: int = 512,
                             xy_rank2: bool = False,
+                            bwd: str = "xla",
                             bwd_chunk: Optional[int] = None,
                             bwd_remat: bool = False,
                             interpret: Optional[bool] = None) -> Callable:
@@ -64,11 +65,18 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
         steps: total rollout length; must be a multiple of ``inner_steps``.
         inner_steps: fused-kernel steps per segment (the checkpoint
             interval).
-        bwd_chunk: if set, within-segment backward recompute runs as a
-            `lax.scan` of ``inner_steps / bwd_chunk`` checkpointed chunks of
-            ``bwd_chunk`` steps (one extra within-chunk recompute, much
-            smaller residual memory / HLO). ``None`` stores residuals for
-            the whole segment.
+        bwd: ``"xla"`` — per-segment XLA recompute + transpose (see
+            ``bwd_chunk``/``bwd_remat``); ``"pallas"`` — the fused
+            segment-VJP kernel (`ops/fused_vjp.make_segment_vjp`): forward
+            checkpoints each step's lean carry to VMEM scratch, reverse
+            sweep applies per-step vjps in-kernel. The production choice on
+            chip (the XLA transpose is launch-bound exactly like the
+            pre-fusion forward was).
+        bwd_chunk: (bwd="xla") if set, within-segment backward recompute
+            runs as a `lax.scan` of ``inner_steps / bwd_chunk`` checkpointed
+            chunks of ``bwd_chunk`` steps (one extra within-chunk recompute,
+            much smaller residual memory / HLO). ``None`` stores residuals
+            for the whole segment.
         bwd_remat: per-step `jax.checkpoint` inside the segment (or inside
             each chunk) — minimal residual memory, one more recompute per
             step; composes with ``bwd_chunk``.
@@ -121,6 +129,16 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
             xy_rank2=xy_rank2, interpret=interpret, apply_closure=False)
         return fused(st, inner_steps)
 
+    if bwd == "pallas":
+        from ..ops.fused_vjp import make_segment_vjp
+
+        pallas_seg_vjp = make_segment_vjp(
+            model_fn, timestepper, ctx, input_sources, dt=dt,
+            inner_steps=inner_steps, block_cells=block_cells,
+            xy_rank2=xy_rank2, interpret=interpret)
+    elif bwd != "xla":
+        raise ValueError(f"bwd must be 'xla' or 'pallas', got {bwd!r}")
+
     def rollout(state, params):
         seg = jax.custom_vjp(fused_segment)
 
@@ -130,6 +148,8 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
 
         def seg_bwd(res, ct):
             st0, p = res
+            if bwd == "pallas":
+                return pallas_seg_vjp(st0, p, ct)
             _, vjp = jax.vjp(xla_segment, st0, p)
             return vjp(ct)
 

@@ -84,11 +84,12 @@ class Simulation:
         #: tests/test_fused_step.py); on-chip A/B:
         #: experiments/ab_fused_rollout.py.
         self.fused_inner_steps = None
-        #: cell-block width of the fused kernel (VMEM tile). None = auto
-        #: from the round-4 grid sweep (SWEEP_r04.json): 256 for small
-        #: grids (<=8192 cells), else 512 (512 beat 256/1024 at every size
-        #: >= 131k; the coupled LandModel config separately measured best
-        #: at 640 — set explicitly for that workload).
+        #: cell-block width of the fused kernel (VMEM tile). None = auto,
+        #: keyed by model kind AND grid size (r4/r5 sweeps): coupled
+        #: LandModel kernels measured best at 640 (r4 coupled sweep: 640 >
+        #: 512/768/896, 256/2048 much slower); soil kernels 256 for small
+        #: grids (<=8192 cells), else 512 (SWEEP_r04.json: 512 beat
+        #: 256/1024 at every size >= 131k).
         self.fused_block_cells = None
         #: in-kernel step-loop unroll of the fused kernel (cross-step code
         #: motion for Mosaic; raises compile time).
@@ -96,7 +97,9 @@ class Simulation:
         #: keep XY leaves rank-2 (1, block) inside the fused kernel — a
         #: Mosaic layout-inference dodge for the coupled-kernel layout.h
         #: crash (bit-identical results; see ops/fused_step.py xy_rank2).
-        self.fused_xy_rank2 = False
+        #: None = auto: True for coupled LandModel kernels (whose rank-1
+        #: layout aborts the Mosaic compiler, r4 bisect), False otherwise.
+        self.fused_xy_rank2 = None
         #: optional `jax.sharding.Mesh`: when set, the fused rollout runs
         #: inside `jax.shard_map` over the cells axis (each device executes
         #: its own kernel grid on its local shard — a bare pallas_call under
@@ -202,10 +205,19 @@ class Simulation:
         import jax
 
         inner = int(self.fused_inner_steps)
-        block = int(self.fused_block_cells) if self.fused_block_cells \
-            else (256 if self.model.grid.cells <= 8192 else 512)
+        from ..models.land_model import LandModel
+
+        coupled = isinstance(self.model, LandModel)
+        if self.fused_block_cells:
+            block = int(self.fused_block_cells)
+        elif coupled:
+            block = 640  # r4 coupled sweep winner (see attribute docstring)
+        else:
+            block = 256 if self.model.grid.cells <= 8192 else 512
+        xy_rank2 = (coupled if self.fused_xy_rank2 is None
+                    else bool(self.fused_xy_rank2))
         key = ("fused", n_inner, inner, block,
-               int(self.fused_unroll), bool(self.fused_xy_rank2),
+               int(self.fused_unroll), xy_rank2,
                id(self.mesh))
         if key not in self._rollout_fns:
             if n_inner % inner != 0:
@@ -222,7 +234,7 @@ class Simulation:
                     inner_steps=inner,
                     block_cells=block,
                     unroll=int(self.fused_unroll),
-                    xy_rank2=bool(self.fused_xy_rank2))
+                    xy_rank2=xy_rank2)
             else:
                 from ..ops.fused_step import make_fused_lean_rollout
 
@@ -231,7 +243,7 @@ class Simulation:
                     self.input_sources, dt=dt0, inner_steps=inner,
                     block_cells=block,
                     unroll=int(self.fused_unroll),
-                    xy_rank2=bool(self.fused_xy_rank2))
+                    xy_rank2=xy_rank2)
             # time-varying sources enter as pytree ARGUMENTS so the
             # (T, cells) series lower as jit parameters, not HLO constants
             jitted = jax.jit(lambda s, ts: fused(s, n_inner, ts))

@@ -102,6 +102,37 @@ def test_fused_grad_bwd_chunk_identical():
     np.testing.assert_allclose(float(g_c), float(g_a), rtol=1e-12)
 
 
+def test_fused_grad_pallas_bwd_matches_xla_bwd():
+    """The fused segment-VJP kernel (`ops/fused_vjp`, bwd="pallas") — the
+    whole backward sweep in one Pallas kernel with VMEM-checkpointed
+    carries — must reproduce the XLA-vjp backward's gradients."""
+    grid = _grid()
+    v_x, g_x = _fused_value_grad(grid, steps=12, inner=4)
+    v_p, g_p = _fused_value_grad(grid, steps=12, inner=4, bwd="pallas")
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-12)
+    np.testing.assert_allclose(float(g_p), float(g_x), rtol=1e-10)
+
+
+def test_fused_grad_pallas_bwd_state_grad():
+    grid = _grid()
+    model_fn = _model_fn(grid)
+    sim = _sim(model_fn(X0))
+    steps, inner = 8, 4
+
+    def loss(u0, bwd):
+        st = sim.state.update(internal_energy=u0)
+        roll = make_fused_grad_rollout(
+            model_fn, sim.timestepper, sim.ctx, (), steps=steps, dt=DT,
+            inner_steps=inner, block_cells=CELLS, interpret=True, bwd=bwd)
+        return _objective(roll(st, X0))
+
+    u0 = sim.state.prognostic["internal_energy"]
+    g_x = jax.jit(jax.grad(lambda u: loss(u, "xla")))(u0)
+    g_p = jax.jit(jax.grad(lambda u: loss(u, "pallas")))(u0)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-8, atol=1e-18)
+
+
 def test_fused_grad_wrt_initial_state():
     """d(loss)/d(initial prognostics) through the custom_vjp chain matches
     the XLA rollout's state gradient."""
