@@ -161,14 +161,36 @@ def config2_implicit(tt):
     roll = sim._rollout_fn(steps)
     med, comp, _ = _time_blocks(roll, sim.state, 900.0,
                                 lambda s: s.prognostic["internal_energy"])
-    # the implicit step (assemble + PCR) traces into the fused kernel too
-    # (tests/test_fused_step.py); inner=48 keeps the larger implicit body
-    # inside the Mosaic compile budget (r4; the explicit kernel uses 144)
-    # round-4 implicit sweep: i48_b384 177.0M; 512x48 174.7, 96x512 174.7,
-    # 640/768 slower — plateaued on the PCR solve, not launches
-    med, path = _best_of_fused(sim, steps, 900.0, med, inner=48, block=384)
+    # fused attempt with the r5 in-kernel solver choice: fully-unrolled
+    # Thomas (185.7M) beat PCR (168.2M) inside the kernel — the XLA-level
+    # PCR win was launch-driven and inverts in VMEM (2x fewer flops); the
+    # r5 attribution (experiments/ab_implicit_r5.py): the tridiagonal
+    # solve owns 44% of the fused implicit step (diag-only 302M), inner=96
+    # flat, stacking still loses. PCR remains the XLA-path default.
+    from terrarium_tpu.ops import tridiag
+
+    solver_used = "pcr"
+    try:
+        tridiag.THOMAS_UNROLL = "full"
+        sim_t = tt.initialize(
+            model, tt.ImplicitEuler(dt=900.0, solver="thomas"),
+            initializers={
+                "temperature": lambda x, z: 1.0 + 0.0 * z,
+                "saturation_water_ice": lambda x, z: np.minimum(
+                    1.0, 0.5 - 0.05 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(_diurnal_bc()),
+        )
+        med2, path = _best_of_fused(sim_t, steps, 900.0, med,
+                                    inner=48, block=384)
+        if med2 < med:
+            med, solver_used = med2, "thomas_full_unroll"
+    finally:
+        tridiag.THOMAS_UNROLL = 2
+    if solver_used == "pcr":
+        med, path = _best_of_fused(sim, steps, 900.0, med,
+                                   inner=48, block=384)
     _emit("column_implicit_tridiag", cells, steps, med, comp, 900.0,
-          {"solver": "pcr", "rollout_path": path})
+          {"solver": solver_used, "rollout_path": path})
 
 
 def config3_global_heat_n72(tt):
@@ -291,28 +313,53 @@ def config6_grad_n145_coupled(tt):
 
     from terrarium_tpu.timesteppers.autodiff import make_rollout_fn
 
-    def make_loss(grid, steps, dt):
-        def loss(log_ksat):
+    def model_fn_for(grid):
+        def model_fn(log_ksat):
             props = tt.ConstantSoilHydraulics(
                 sat_hydraulic_cond=jnp.exp(log_ksat),
                 swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
                 unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
             soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
                 vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
-            model = tt.SoilModel(grid=grid, soil=soil)
-            sim = tt.initialize(
-                model, tt.ForwardEuler(),
-                initializers={
-                    "temperature": -1.0,
-                    "saturation_water_ice": lambda x, z: np.minimum(
-                        1.0, 0.6 - 0.04 * z)},
-                boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
-            # lean-carry per-step remat won the round-4 backward A/B
-            # (42.4 vs 41.0M per-step, 22.1M sqrt-N seg; no-remat fails to
-            # compile remotely -- experiments/ab_backward.py)
-            roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx, (),
-                                   steps=steps, remat=True, lean=True)
-            out = roll(sim.state, dt)
+            return tt.SoilModel(grid=grid, soil=soil)
+        return model_fn
+
+    def sim_for(model):
+        return tt.initialize(
+            model, tt.ForwardEuler(),
+            initializers={
+                "temperature": -1.0,
+                "saturation_water_ice": lambda x, z: np.minimum(
+                    1.0, 0.6 - 0.04 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+
+    def make_loss(grid, steps, dt, fused=False):
+        model_fn = model_fn_for(grid)
+
+        def loss(log_ksat):
+            sim = sim_for(model_fn(log_ksat))
+            if fused:
+                # r5: fused Pallas forward + fused segment-VJP backward
+                # (`ops/fused_vjp` — the whole reverse sweep in VMEM);
+                # unrolled outer segments (beat the scan by ~4%).
+                # Attribution vs the 90M target: experiments/
+                # ab_grad_attrib.py + docs/performance.md (the in-kernel
+                # transpose alone exceeds that budget on this chip).
+                from terrarium_tpu.timesteppers.fused_grad import (
+                    make_fused_grad_rollout)
+
+                roll = make_fused_grad_rollout(
+                    model_fn, sim.timestepper, sim.ctx, (), steps=steps,
+                    dt=dt, inner_steps=48, block_cells=512, bwd="pallas",
+                    unroll_outer=True)
+                out = roll(sim.state, log_ksat)
+            else:
+                # round-4 path: lean-carry per-step remat (won the r4 A/B;
+                # experiments/ab_backward.py)
+                roll = make_rollout_fn(sim.model, sim.timestepper, sim.ctx,
+                                       (), steps=steps, remat=True,
+                                       lean=True)
+                out = roll(sim.state, dt)
             return (jnp.mean(out.temperature)
                     + jnp.mean(out.saturation_water_ice))
         return loss
@@ -330,22 +377,32 @@ def config6_grad_n145_coupled(tt):
 
     grid = _ring_grid(145, 20, tt)
     steps = 288
-    vg = jax.jit(jax.value_and_grad(make_loss(grid, steps, 300.0)))
-    t0 = time.perf_counter()
-    v, g = vg(x0)
-    float(v), float(g)
-    comp = time.perf_counter() - t0
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        v, g = vg(x0)
-        float(v), float(g)
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    results = {}
+    for name, fused in (("fused_pallas_bwd", True), ("xla_lean_remat", False)):
+        try:
+            vg = jax.jit(jax.value_and_grad(
+                make_loss(grid, steps, 300.0, fused=fused)))
+            t0 = time.perf_counter()
+            v, g = vg(x0)
+            float(v), float(g)
+            comp = time.perf_counter() - t0
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                v, g = vg(x0)
+                float(v), float(g)
+                times.append(time.perf_counter() - t0)
+            results[name] = (float(np.median(times)), comp, float(g))
+        except Exception:
+            continue
+    path, (med, comp, g) = min(results.items(), key=lambda kv: kv[1][0])
     _emit("grad_n145_heat_richards", grid.cells, steps, med, comp, 300.0,
           {"land_cells": int(grid.n_land), "includes": "forward+backward",
-           "param": "log_K_sat", "dloss_dlogksat": round(float(g), 6),
-           "fd_rel_err_reduced": round(fd_rel_err, 5)})
+           "param": "log_K_sat", "dloss_dlogksat": round(g, 6),
+           "fd_rel_err_reduced": round(fd_rel_err, 5),
+           "grad_path": path,
+           "both_M": {k: round(grid.cells * steps / v[0] / 1e6, 1)
+                      for k, v in results.items()}})
 
 
 def config7_heun_n145(tt):

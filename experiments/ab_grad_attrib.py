@@ -128,21 +128,46 @@ def main():
 
     rows[f"bwd_kernel_x{steps // inner}"] = timed(six_bwd, sim.state, x0)
 
-    # full grad
-    roll = make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (),
-                                   steps=steps, dt=300.0, inner_steps=inner,
-                                   block_cells=block, bwd="pallas")
-    vg = jax.jit(jax.value_and_grad(lambda x: objective(roll(sim.state, x))))
-    rows["grad_total"] = timed(vg, x0,
-                               sync=lambda o: float(o[0]) + float(o[1]))
+    # in-kernel attribution: checkpoint-fwd loop only / plain reverse step
+    # (no transpose) / full vjp — isolates where the bwd kernel time goes
+    from terrarium_tpu.ops import fused_vjp as fv
+
+    for mode in ("none", "plain"):
+        fv.BWD_MODE = mode
+        seg_vjp_m = make_segment_vjp(model_fn, sim.timestepper, sim.ctx, (),
+                                     dt=300.0, inner_steps=inner,
+                                     block_cells=block)
+
+        @jax.jit
+        def one_bwd_m(state, x):
+            ct0, ctp = seg_vjp_m(state, x, ones_ct)
+            return jnp.sum(ct0.prognostic["internal_energy"]) + ctp
+
+        try:
+            rows[f"bwd_kernel_{mode}_x1"] = timed(one_bwd_m, sim.state, x0)
+        except Exception as e:
+            print(json.dumps({"variant": f"bwd_kernel_{mode}_x1",
+                              "error": repr(e)[:160]}), flush=True)
+        finally:
+            fv.BWD_MODE = "vjp"
+
+    # full grad (scan outer vs unrolled outer)
+    for name, uo in (("grad_total", False), ("grad_total_unrolled", True)):
+        roll = make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (),
+                                       steps=steps, dt=300.0,
+                                       inner_steps=inner, block_cells=block,
+                                       bwd="pallas", unroll_outer=uo)
+        vg = jax.jit(jax.value_and_grad(
+            lambda x: objective(roll(sim.state, x))))
+        rows[name] = timed(vg, x0, sync=lambda o: float(o[0]) + float(o[1]))
 
     for k, v in rows.items():
         print(json.dumps({"variant": k, "median_s": round(v, 4),
                           "minus_null_ms": round((v - rows["null"]) * 1e3, 1)}),
               flush=True)
+    best = min(rows.get("grad_total", 9e9), rows.get("grad_total_unrolled", 9e9))
     print(json.dumps({"inner": inner, "block": block,
-                      "grad_M": round(cells * steps / rows["grad_total"] / 1e6,
-                                      1)}))
+                      "grad_M": round(cells * steps / best / 1e6, 1)}))
 
 
 if __name__ == "__main__":

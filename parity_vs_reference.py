@@ -45,8 +45,11 @@ FIELD_ALIASES = {
 }
 
 
-def build_sim(mask_path: str, nf=np.float32, dt: float = 60.0):
-    """The reference benchmark configuration on the masked ring grid."""
+def build_sim(mask_path: str, nf=np.float32, dt: float = 60.0,
+              deficit_pool: bool = False):
+    """The reference benchmark configuration on the masked ring grid.
+    ``deficit_pool`` opts into the corrected saturation-clamp mode (NOT
+    parity; used by the exact-budget year assessment)."""
     import jax.numpy as jnp
 
     import terrarium_tpu as tt
@@ -56,7 +59,8 @@ def build_sim(mask_path: str, nf=np.float32, dt: float = 60.0):
     ring = tt.full_gaussian_grid(lats.shape[0] // 2)
     grid = tt.ColumnRingGrid.create(ring, mask,
                                     spacing=tt.ExponentialSpacing(N=30), nf=nf)
-    hydrology = tt.SoilHydrology(vertical_flow=tt.RichardsEq())
+    hydrology = tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                 deficit_pool=deficit_pool)
     soil = tt.SoilEnergyWaterCarbon(hydrology=hydrology)
     # the protocol sets the coupled SoilInitializer explicitly
     # (`soil_heat_hydrology_global.jl:41`): QuasiThermalSteadyState T +

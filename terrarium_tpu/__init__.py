@@ -113,6 +113,6 @@ from .io.forcing_pipeline import ChunkedForcingPipeline
 from .parallel.halo import lateral_diffusion_forcing, neighbor_shift
 from .parallel.sharding import (cell_mesh, initialize_distributed,
                                 shard_sources, shard_state)
-from .diagnostics.budget import BudgetTracker, energy_column, energy_rates, water_column, water_rates
+from .diagnostics.budget import BudgetTracker, ExactBudget, energy_column, energy_rates, water_column, water_rates
 from .diagnostics.debug import debug_callback, enable_debug, nancheck
 from .diagnostics.profiling import compile_seconds, profile_rollout, step_timings

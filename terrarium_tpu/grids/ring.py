@@ -148,6 +148,44 @@ class ColumnRingGrid(ColumnGrid):
         flat[..., self.idx] = packed[..., : self.n_land]
         return flat.reshape(packed.shape[:-1] + self.ring.shape)
 
+    # -- lateral topology --------------------------------------------------
+    def neighbor_maps(self) -> np.ndarray:
+        """Physical 4-neighborhood of every packed cell: ``(cells, 4)``
+        int32 packed indices of the (E, W, N, S) raster neighbors
+        (east/west wrap around the ring; north/south use the same
+        longitude column one ring up/down).
+
+        A neighbor that is ocean, off the poles, or grid padding maps to
+        the cell ITSELF — zero-flux coasts/caps by construction, which
+        makes any symmetric-stencil lateral operator exactly conservative
+        on the masked grid (the adjacency is symmetric: j is E-neighbor of
+        i iff i is W-neighbor of j, and invalid links drop on both sides).
+
+        Within a ring the packed axis is contiguous by construction
+        (row-major mask packing), so E/W entries are mostly ``i +- 1``;
+        ring wraps and coast gaps are what this index map encodes. This is
+        the production lateral adjacency the r4 halo extension lacked
+        (`parallel/halo.py` neighbor_shift is index-adjacency, physical
+        only for `ColumnGrid` transects)."""
+        nlat, nlon = self.ring.shape
+        r2p = np.full(nlat * nlon, -1, dtype=np.int64)
+        r2p[self.idx] = np.arange(self.n_land)
+        ii, jj = np.divmod(self.idx, nlon)
+        self_p = np.arange(self.n_land)
+
+        def pack(i, j, valid):
+            flat = i * nlon + j
+            p = r2p[np.where(valid, flat, 0)]
+            return np.where(valid & (p >= 0), p, self_p)
+
+        east = pack(ii, (jj + 1) % nlon, np.ones_like(ii, bool))
+        west = pack(ii, (jj - 1) % nlon, np.ones_like(ii, bool))
+        north = pack(ii - 1, jj, ii - 1 >= 0)
+        south = pack(ii + 1, jj, ii + 1 < nlat)
+        out = np.tile(np.arange(self.cells, dtype=np.int64)[:, None], (1, 4))
+        out[: self.n_land] = np.stack([east, west, north, south], axis=1)
+        return out.astype(np.int32)
+
     # -- per-cell coordinates ---------------------------------------------
     @property
     def cell_lats(self) -> np.ndarray:

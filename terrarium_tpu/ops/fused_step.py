@@ -404,24 +404,31 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
                 f"built with {len(ts_sources)} time-varying sources; pass "
                 f"exactly one runtime source per build-time source, in the "
                 f"same order")
-        # only series VALUES may differ at runtime: t0/dts/T/W are baked
-        # into the kernel at build time, so silently-shifted time axes
-        # would interpolate against stale metadata
+        # runtime sources may override series VALUES and the window's time
+        # ORIGIN (a shifted-but-uniform axis with the SAME spacing — the
+        # streamed-chunk regime of io/forcing_pipeline.run_fused, where one
+        # executable serves every chunk); length and spacing are baked into
+        # the kernel at build time and must match
+        rt_t0s = []
         for ts, rt in zip(ts_sources, runtime_ts):
             bt_times = np.asarray(ts["src"].times, dtype=np.float64)
             if np.shape(rt.times) != bt_times.shape:
                 raise ValueError(
                     "runtime ts_srcs times differ in shape from the "
-                    "build-time sources; only series values may be "
-                    "overridden")
+                    "build-time sources; only series values and the time "
+                    "origin may be overridden")
             try:  # traced times (jit args) can only be shape-checked
                 rt_times = np.asarray(rt.times, dtype=np.float64)
             except Exception:
+                rt_t0s.append(jnp.reshape(
+                    jnp.asarray(rt.times)[:1].astype(grid.nf), ()))
                 continue
-            if not np.allclose(rt_times, bt_times, rtol=1e-6, atol=0.0):
+            if not np.allclose(np.diff(rt_times), ts["dts"], rtol=1e-6):
                 raise ValueError(
-                    "runtime ts_srcs times differ from the build-time "
-                    "sources; only series values may be overridden")
+                    "runtime ts_srcs must keep the build-time uniform "
+                    "spacing; only series values and the time origin may "
+                    "be overridden")
+            rt_t0s.append(float(rt_times[0]))
 
         leaves, treedef = jax.tree_util.tree_flatten(state)
         ndims = [jnp.ndim(l) for l in leaves]
@@ -567,10 +574,10 @@ def make_fused_lean_rollout(model, timestepper, ctx, input_sources=(), *,
             ops = []
             si = iter(series_padded)
             t_base = t_init + (j * inner_steps) * dt
-            for ts in ts_sources:
-                i0f = jnp.floor((t_base - ts["t0"]) / ts["dts"])
+            for ts, t0 in zip(ts_sources, rt_t0s):
+                i0f = jnp.floor((t_base - t0) / ts["dts"])
                 i0 = jnp.clip(i0f.astype(jnp.int32), 0, ts["T"] - ts["W"])
-                t_win0 = (jnp.asarray(ts["t0"], grid.nf)
+                t_win0 = (jnp.asarray(t0, grid.nf)
                           + i0.astype(grid.nf) * jnp.asarray(ts["dts"], grid.nf))
                 ops.append(jnp.reshape(t_win0, (1, 1)))
                 for _ in ts["names"]:

@@ -45,6 +45,12 @@ from ..grids.column import ColumnGrid
 
 __all__ = ["make_segment_vjp"]
 
+#: in-kernel attribution knob (experiments/ab_grad_attrib.py): "vjp" =
+#: production; "plain" = reverse sweep runs the plain step instead of its
+#: vjp (isolates the transpose cost); "none" = forward checkpoint loop only.
+#: Non-default modes produce WRONG cotangents — measurement only.
+BWD_MODE = "vjp"
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -303,14 +309,20 @@ def make_segment_vjp(model_fn, timestepper, ctx, input_sources=(), *,
                     out = run_step(carry, fex)
                     return [out[k] for k in fpos]
 
+                if BWD_MODE == "plain":  # attribution: no transpose
+                    out = step_floats([carry_i[k] for k in fpos], fex_vals)
+                    return ([a + b for a, b in zip(ct_f, out)], dex)
                 _, vjp_fn = jax.vjp(step_floats,
                                     [carry_i[k] for k in fpos], fex_vals)
                 d_floats, d_fex = vjp_fn(ct_f)
                 return (list(d_floats),
                         [a + b for a, b in zip(dex, d_fex)])
 
-            ct_fin, dex = jax.lax.fori_loop(0, inner_steps, bwd_body,
-                                            (ct_f0, dex0))
+            if BWD_MODE == "none":  # attribution: checkpoint loop only
+                ct_fin, dex = ct_f0, dex0
+            else:
+                ct_fin, dex = jax.lax.fori_loop(0, inner_steps, bwd_body,
+                                                (ct_f0, dex0))
 
             # ---- write outputs -----------------------------------------
             first = pl.program_id(0) == 0

@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 __all__ = ["tridiag_solve", "tridiag_solve_pcr"]
 
+#: `lax.scan` unroll of the Thomas sweeps. 2 is the measured XLA-path
+#: optimum (experiments/ab_unroll.py). Mosaic's scan lowering supports only
+#: unroll in {1, n}, so set "full" to trace Thomas into the fused Pallas
+#: kernel (the r5 in-kernel Thomas-vs-PCR A/B, experiments/ab_implicit_r5.py)
+THOMAS_UNROLL = 2
+
 
 def tridiag_solve(a, b, c, d):
     """Solve ``a[k] x[k-1] + b[k] x[k] + c[k] x[k+1] = d[k]`` per column.
@@ -43,10 +49,37 @@ def tridiag_solve(a, b, c, d):
         d_new = (d_k - a_k * d_prev) / denom
         return (c_new, d_new), (c_new, d_new)
 
+    n = b.shape[0]
+    if THOMAS_UNROLL == "full":
+        # fully-unrolled trace-time loop for the fused Pallas kernel:
+        # Mosaic's scan lowering rejects extensive outputs (the stacked
+        # c'/d' sweeps), and value integer-indexing is not lowerable —
+        # static (1, cells) row slices + one concatenate instead. Same
+        # arithmetic and order as the scan form.
+        cs, ds = [], []
+        c_prev = d_prev = jnp.zeros_like(b[:1])
+        for k in range(n):
+            a_k = a[k:k + 1] if k > 0 else jnp.zeros_like(b[:1])
+            denom = b[k:k + 1] - a_k * c_prev
+            c_prev = c[k:k + 1] / denom
+            d_prev = (d[k:k + 1] - a_k * d_prev) / denom
+            cs.append(c_prev)
+            ds.append(d_prev)
+        x_next = jnp.zeros_like(b[:1])
+        xs = [None] * n
+        for k in range(n - 1, -1, -1):
+            x_next = ds[k] - cs[k] * x_next
+            xs[k] = x_next
+        return jnp.concatenate(xs, axis=0)
+
     zeros = jnp.zeros_like(b[0])
-    a0 = a.at[0].set(0.0)
+    u = int(THOMAS_UNROLL)
+    # .at[] is not Mosaic-lowerable; the iota row mask is (vertical_ops
+    # conventions) — needed when tracing into the fused kernel
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    a0 = jnp.where(idx == 0, 0.0, a)
     (_, _), (c_prime, d_prime) = jax.lax.scan(fwd, (zeros, zeros), (a0, b, c, d),
-                                              unroll=2)
+                                              unroll=u)
 
     # back substitution: x_k = d'_k - c'_k x_{k+1}
     def bwd(x_next, xs):
@@ -54,7 +87,7 @@ def tridiag_solve(a, b, c, d):
         x_k = d_k - c_k * x_next
         return x_k, x_k
 
-    _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=2, reverse=True)
+    _, x = jax.lax.scan(bwd, zeros, (c_prime, d_prime), unroll=u, reverse=True)
     return x
 
 

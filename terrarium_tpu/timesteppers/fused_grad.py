@@ -52,6 +52,7 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
                             bwd: str = "xla",
                             bwd_chunk: Optional[int] = None,
                             bwd_remat: bool = False,
+                            unroll_outer: bool = False,
                             interpret: Optional[bool] = None) -> Callable:
     """Build ``rollout(state, params) -> state`` differentiable in both
     arguments, with the forward pass on the fused Pallas kernel.
@@ -155,10 +156,18 @@ def make_fused_grad_rollout(model_fn: Callable, timestepper, ctx,
 
         seg.defvjp(seg_fwd, seg_bwd)
 
-        def body(st, _):
-            return seg(st, params), None
+        if unroll_outer:
+            # python loop over segments: no scan-transpose machinery (no
+            # stacked-residual dynamic slicing) at the cost of HLO size
+            # O(n_outer); worthwhile for small segment counts
+            out = state
+            for _ in range(n_outer):
+                out = seg(out, params)
+        else:
+            def body(st, _):
+                return seg(st, params), None
 
-        out, _ = jax.lax.scan(body, state, None, length=n_outer)
+            out, _ = jax.lax.scan(body, state, None, length=n_outer)
         # trailing closure restores step^n equality on the prognostics and
         # the closure variables (temperature, pressure head, ...)
         return model_fn(params).closure(out, ctx)

@@ -59,7 +59,11 @@ class ImplicitDiffusionTerms:
     phi_var: str
 
 
-_SOLVERS = {"thomas": tridiag_solve, "pcr": tridiag_solve_pcr}
+_SOLVERS = {"thomas": tridiag_solve, "pcr": tridiag_solve_pcr,
+            # attribution-only: diagonal "solve" (WRONG results — isolates
+            # assembly+closure cost from the tridiagonal solve in the
+            # in-kernel timing A/B, experiments/ab_implicit_r5.py)
+            "diag_attribution_only": lambda a, b, c, d: d / b}
 
 
 def _assemble_implicit(terms: ImplicitDiffusionTerms, state, grid, bcs, dt):
@@ -121,9 +125,18 @@ class ImplicitEuler:
     so the stepper is a drop-in replacement for :class:`ForwardEuler`.
 
     ``solver``: ``"thomas"`` (sequential scan, exact) or ``"pcr"`` (parallel
-    cyclic reduction — no sequential z dependence, ~1.5x faster on TPU for
-    the N145 batch; agrees with Thomas to ~1e-10 on the diagonally-dominant
-    systems this stepper assembles).
+    cyclic reduction — no sequential z dependence; agrees with Thomas to
+    ~1e-10 on the diagonally-dominant systems this stepper assembles).
+    Path-dependent choice, both measured on chip: PCR wins on the XLA path
+    (~1.5x — the Thomas scan costs extra launches); inside the fused Pallas
+    kernel the fully-unrolled Thomas wins (185.7 vs 168.2 M cells*steps/s,
+    r5 — 2x fewer flops and launch cost is gone; set
+    ``ops.tridiag.THOMAS_UNROLL = "full"`` when tracing it into a kernel,
+    Mosaic's scan lowering rejects the extensive-output sweep form). The
+    r5 attribution: the tridiagonal solve owns 44% of the fused implicit
+    step (diag-only variant 302 M); the remaining gap to the 2x BASELINE
+    bar is the solve's sublane inefficiency (row-sequential (1, block)
+    ops use 1/8 of the VPU tile) — experiments/ab_implicit_r5.py.
 
     ``stack_solves``: solve all implicit systems (heat + Richards) as ONE
     batched solve with the systems concatenated along the cell axis — the

@@ -60,3 +60,84 @@ def test_pipeline_single_compilation(rng):
     pipeline.run(sim, steps=60, dt=600.0)
     assert np.all(np.isfinite(np.asarray(sim.state.temperature)))
     assert float(sim.state.clock.time) == 60 * 600.0
+
+
+def test_run_fused_streamed_matches_full_series():
+    """Pipeline x fused-window composition (VERDICT r5 item 5): streaming
+    hourly forcing through `run_fused` (one executable, shifted-time-origin
+    windows) must match the plain XLA rollout holding the FULL series
+    device-resident. Chunks cross window boundaries and the series end
+    (flat extrapolation)."""
+    import jax
+
+    cells, nz = 24, 6
+    hours = np.arange(0.0, 40 * 3600.0, 3600.0)
+    rng = np.random.default_rng(11)
+    ts = (4.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)
+          + rng.normal(0, 0.5, (hours.size, cells))).astype(np.float32)
+
+    def build(sources):
+        grid = tt.ColumnGrid.of(cells=cells,
+                                spacing=tt.ExponentialSpacing(N=nz),
+                                nf=np.float32)
+        model = tt.SoilModel(grid=grid)
+        return tt.initialize(
+            model, tt.ForwardEuler(dt=900.0),
+            initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(
+                "surface_temperature"),
+            input_sources=sources)
+
+    steps = 144  # 36 h: several chunks + extrapolation past hour 39
+    full = tt.TimeSeriesInputSource(times=hours,
+                                    series={"surface_temperature": ts})
+    sim_ref = build((full,))
+    sim_ref.run(steps=steps, dt=900.0)
+
+    pipe = ChunkedForcingPipeline(times=hours,
+                                  series={"surface_temperature": ts},
+                                  window=8)
+    sim_f = build((pipe,))
+    sim_f.fused_inner_steps = 4
+    pipe.run_fused(sim_f, steps=steps, dt=900.0)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_f.state.prognostic["internal_energy"]),
+        np.asarray(sim_ref.state.prognostic["internal_energy"]),
+        rtol=3e-5, atol=1e-5)
+    assert float(sim_f.state.clock.time) == float(sim_ref.state.clock.time)
+
+
+def test_run_fused_lazy_series_provider():
+    """Series values may be callables (lazy providers) so a multi-GB year
+    never materializes on host; results identical to the array form."""
+    cells, nz = 16, 5
+    hours = np.arange(0.0, 24 * 3600.0, 3600.0)
+    base = (3.0 * np.cos(2 * np.pi * hours[:, None] / 86400.0)
+            * np.ones((1, cells))).astype(np.float32)
+
+    def provider(i0, i1):
+        return base[i0:i1]
+
+    def build(pipe):
+        grid = tt.ColumnGrid.of(cells=cells,
+                                spacing=tt.ExponentialSpacing(N=nz),
+                                nf=np.float32)
+        model = tt.SoilModel(grid=grid)
+        sim = tt.initialize(
+            model, tt.ForwardEuler(dt=1800.0),
+            initializers={"temperature": 0.5, "saturation_water_ice": 0.5},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(
+                "surface_temperature"),
+            input_sources=(pipe,))
+        sim.fused_inner_steps = 2
+        return sim
+
+    out = {}
+    for key, series in (("lazy", {"surface_temperature": provider}),
+                        ("array", {"surface_temperature": base})):
+        pipe = ChunkedForcingPipeline(times=hours, series=series, window=6)
+        sim = build(pipe)
+        pipe.run_fused(sim, steps=32, dt=1800.0)
+        out[key] = np.asarray(sim.state.prognostic["internal_energy"])
+    np.testing.assert_array_equal(out["lazy"], out["array"])

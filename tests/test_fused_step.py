@@ -408,3 +408,52 @@ def test_fused_lean_rollout_xy_rank2_coupled():
         np.testing.assert_array_equal(np.asarray(s1.prognostic[name]),
                                       np.asarray(s2.prognostic[name]),
                                       err_msg=name)
+
+
+def test_fused_implicit_thomas_full_unroll():
+    """r5: the fused-kernel implicit solver choice — fully-unrolled Thomas
+    (`ops.tridiag.THOMAS_UNROLL="full"`, the Mosaic-lowerable form) matches
+    the PCR rollout through the fused kernel (solver-level agreement ~1e-10
+    on these diagonally dominant systems; trajectories may diverge slightly
+    at phase-change thresholds, hence the loose rtol)."""
+    import jax
+
+    from terrarium_tpu.ops import tridiag
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    cells, nz = 96, 16
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq(),
+                                   hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+
+    def build(solver):
+        return tt.initialize(
+            model, tt.ImplicitEuler(dt=3600.0, solver=solver),
+            initializers={"temperature": 3.0,
+                          "saturation_water_ice":
+                              lambda x, z: np.minimum(1.0, 0.65 - 0.04 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(-6.0))
+
+    s_ref = build("pcr")._rollout_fn(8)(build("pcr").state, 3600.0)
+    try:
+        tridiag.THOMAS_UNROLL = "full"
+        sim = build("thomas")
+        fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                        (), dt=3600.0, inner_steps=4,
+                                        block_cells=64, interpret=True)
+        s_th = jax.jit(lambda s: fused(s, 8))(sim.state)
+    finally:
+        tridiag.THOMAS_UNROLL = 2
+    np.testing.assert_allclose(
+        np.asarray(s_th.prognostic["internal_energy"]),
+        np.asarray(s_ref.prognostic["internal_energy"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_th.prognostic["saturation_water_ice"]),
+        np.asarray(s_ref.prognostic["saturation_water_ice"]),
+        rtol=1e-5, atol=1e-9)
