@@ -110,7 +110,10 @@ from .io.output import (AveragedTimeInterval, FieldTimeSeriesWriter,
                         load_field_time_series)
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.forcing_pipeline import ChunkedForcingPipeline
-from .parallel.halo import lateral_diffusion_forcing, neighbor_shift
+from .parallel.halo import (lateral_diffusion_forcing,
+                            lateral_diffusion_forcing_ring,
+                            neighbor_shift)
+from .timesteppers.fused_grad import make_fused_grad_rollout
 from .parallel.sharding import (cell_mesh, initialize_distributed,
                                 shard_sources, shard_state)
 from .diagnostics.budget import BudgetTracker, ExactBudget, energy_column, energy_rates, water_column, water_rates
