@@ -96,9 +96,28 @@ def pad_z(x, lo: int, hi: int, fill=0.0):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
 
 
+#: In-kernel lowering of :func:`shift_z` (active only under
+#: ``force_concat_shifts``, i.e. while tracing a Pallas kernel body):
+#: ``"concat"`` — fill-row + slice + concatenate (the r2-r4 form);
+#: ``"roll"`` — `pltpu.roll` sublane rotate + iota-masked fill (r5
+#: headline experiment: the census counts ~1k concat ops/cell*step; a
+#: rotate may lower cheaper). A/B: experiments/ab_shift_roll.py.
+KERNEL_SHIFT_IMPL = "concat"
+
+
 def shift_z(x, d: int, fill=0.0):
     """Shift ``x`` by ``d`` rows toward higher k (same length): row ``k``
     of the result is ``x[k - d]``; vacated rows take ``fill``."""
+    if (_FORCE_CONCAT and KERNEL_SHIFT_IMPL == "roll" and d != 0
+            and jnp.ndim(x) >= 2 and abs(d) < x.shape[0]):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        # roll requires a non-negative shift: d < 0 rotates by n + d
+        rolled = pltpu.roll(x, d % x.shape[0], 0)  # row k <- x[(k - d) % n]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        vac = idx < d if d > 0 else idx >= x.shape[0] + d
+        return jnp.where(vac, jnp.asarray(fill, x.dtype), rolled)
     return pad_z(x, d, -d, fill)
 
 
