@@ -180,8 +180,9 @@ def config2_implicit(tt):
                     1.0, 0.5 - 0.05 * z)},
             boundary_conditions=tt.PrescribedSurfaceTemperature(_diurnal_bc()),
         )
+        # full-size r5 sweep: i48_b512 202.9M > i48_b384 197.5 > i96 flat
         med2, path = _best_of_fused(sim_t, steps, 900.0, med,
-                                    inner=48, block=384)
+                                    inner=48, block=512)
         if med2 < med:
             med, solver_used = med2, "thomas_full_unroll"
     finally:

@@ -45,7 +45,9 @@ def main():
     from terrarium_tpu.ops import tridiag
     from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
 
-    cells, steps, dt = 24576, 1920, 900.0
+    cells = int(sys.argv[sys.argv.index("--cells") + 1]) \
+        if "--cells" in sys.argv else 24576
+    steps, dt = 1920, 900.0
     grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=30),
                             nf=np.float32)
 
@@ -95,6 +97,12 @@ def main():
         ("pcr_i96_b384", dict(solver="pcr"), dict(inner=96, block=384)),
         ("thomas_full_i96_b384", dict(solver="thomas"),
          dict(inner=96, block=384)),
+        ("thomas_full_i48_b512", dict(solver="thomas"),
+         dict(inner=48, block=512)),
+        ("thomas_full_i96_b256", dict(solver="thomas"),
+         dict(inner=96, block=256)),
+        ("thomas_full_i144_b384", dict(solver="thomas"),
+         dict(inner=144, block=384)),
     ]
     for name, skw, fkw in variants:
         if only and name not in only:

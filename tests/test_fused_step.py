@@ -457,3 +457,62 @@ def test_fused_implicit_thomas_full_unroll():
         np.asarray(s_th.prognostic["saturation_water_ice"]),
         np.asarray(s_ref.prognostic["saturation_water_ice"]),
         rtol=1e-5, atol=1e-9)
+
+
+def test_fused_kernel_hoists_committed_array_consts():
+    """r5 chip bug: a committed device array stored in a process config
+    (e.g. ``sat_hydraulic_cond=jnp.exp(x)``) was left baked into the
+    kernel jaxpr by `jax.closure_convert` (it hoists only traced consts)
+    and Mosaic rejected the kernel with "captures constants".
+    `ops.fused_step.closure_convert_all` hoists ALL jaxpr constants; the
+    kernel must trace with zero captured consts and reproduce the
+    python-float-config rollout bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from terrarium_tpu.ops.fused_step import make_fused_lean_rollout
+
+    grid = tt.ColumnGrid.of(cells=64, spacing=tt.ExponentialSpacing(N=8),
+                            nf=np.float32)
+
+    def build(ksat):
+        props = tt.ConstantSoilHydraulics(
+            sat_hydraulic_cond=ksat,
+            swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+            unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+        soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+            vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+        model = tt.SoilModel(grid=grid, soil=soil)
+        return tt.initialize(
+            model, tt.ForwardEuler(),
+            initializers={"temperature": -1.0,
+                          "saturation_water_ice":
+                              lambda x, z: np.minimum(1.0, 0.6 - 0.04 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+
+    outs = {}
+    for key, ksat in (("float", float(np.exp(np.log(1e-5)))),
+                      ("device_array", jnp.exp(jnp.float32(np.log(1e-5))))):
+        sim = build(ksat)
+        fused = make_fused_lean_rollout(sim.model, sim.timestepper, sim.ctx,
+                                        (), dt=300.0, inner_steps=4,
+                                        block_cells=64, interpret=True)
+        # tracing must not raise (the TPU lowering would reject captured
+        # consts; interpret mode tolerates them, so ALSO check the jaxpr)
+        jaxpr = jax.make_jaxpr(lambda s: fused(s, 4))(sim.state)
+
+        def find_pallas(jx, out):
+            for e in jx.eqns:
+                if e.primitive.name == "pallas_call":
+                    out.append(e)
+                for v in e.params.values():
+                    inner_jx = getattr(v, "jaxpr", None)
+                    if inner_jx is not None:
+                        find_pallas(inner_jx, out)
+            return out
+
+        pallas_eqns = find_pallas(jaxpr.jaxpr, [])
+        assert pallas_eqns, "no pallas_call traced"
+        outs[key] = np.asarray(jax.jit(lambda s: fused(s, 8))(
+            sim.state).prognostic["internal_energy"])
+    np.testing.assert_array_equal(outs["device_array"], outs["float"])
