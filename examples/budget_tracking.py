@@ -8,6 +8,8 @@ rates, and closure residuals. Run: python examples/budget_tracking.py
 """
 import jax
 
+jax.config.update("jax_enable_x64", True)  # the closure asserts need f64
+
 # dev machines: force CPU if no real accelerator is wanted
 # jax.config.update("jax_platforms", "cpu")
 

@@ -195,3 +195,73 @@ def test_fused_grad_rejects_bad_config():
     with pytest.raises(ValueError, match="static"):
         make_fused_grad_rollout(model_fn, sim.timestepper, sim.ctx, (ts,),
                                 steps=12, dt=DT, inner_steps=4)
+
+
+def test_fused_grad_implicit_stepper():
+    """The custom_vjp fused rollout composes with ImplicitEuler: gradients
+    flow through the in-kernel linearized backward-Euler assembles and
+    tridiagonal solves, matching the plain XLA grad of the same rollout."""
+    grid = _grid()
+    model_fn = _model_fn(grid)
+    ts = tt.ImplicitEuler(dt=1800.0)
+    sim = tt.initialize(
+        model_fn(X0), ts,
+        initializers={
+            "temperature": -1.0,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0,
+                                                            0.6 - 0.04 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+    steps, inner = 8, 4
+
+    def loss_xla(x):
+        model = model_fn(x)
+        roll = make_rollout_fn(model, ts, sim.ctx, (), steps=steps,
+                               remat=True, lean=True)
+        return _objective(roll(sim.state, 1800.0))
+
+    def loss_fused(x, bwd):
+        roll = make_fused_grad_rollout(
+            model_fn, ts, sim.ctx, (), steps=steps, dt=1800.0,
+            inner_steps=inner, block_cells=CELLS, interpret=True, bwd=bwd)
+        return _objective(roll(sim.state, x))
+
+    v_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(X0)
+    for bwd in ("xla", "pallas"):
+        v_f, g_f = jax.jit(jax.value_and_grad(
+            lambda x: loss_fused(x, bwd)))(X0)
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-10)
+        np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-8,
+                                   err_msg=bwd)
+
+
+def test_fused_grad_heun_stepper():
+    """...and with Heun (two-stage predictor/corrector in-kernel)."""
+    grid = _grid()
+    model_fn = _model_fn(grid)
+    ts = tt.Heun(dt=DT)
+    sim = tt.initialize(
+        model_fn(X0), ts,
+        initializers={
+            "temperature": -1.0,
+            "saturation_water_ice": lambda x, z: np.minimum(1.0,
+                                                            0.6 - 0.04 * z)},
+        boundary_conditions=tt.PrescribedSurfaceTemperature(4.0))
+    steps, inner = 8, 4
+
+    def loss_xla(x):
+        model = model_fn(x)
+        roll = make_rollout_fn(model, ts, sim.ctx, (), steps=steps,
+                               remat=True, lean=True)
+        return _objective(roll(sim.state, DT))
+
+    def loss_fused(x):
+        roll = make_fused_grad_rollout(
+            model_fn, ts, sim.ctx, (), steps=steps, dt=DT,
+            inner_steps=inner, block_cells=CELLS, interpret=True,
+            bwd="pallas")
+        return _objective(roll(sim.state, x))
+
+    v_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(X0)
+    v_f, g_f = jax.jit(jax.value_and_grad(loss_fused))(X0)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-10)
+    np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-8)

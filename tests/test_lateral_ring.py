@@ -158,3 +158,38 @@ def test_lateral_ring_sharded_bit_identical():
 
     out = np.asarray(sharded(x))
     np.testing.assert_allclose(out, ref, rtol=1e-14, atol=0.0)
+
+
+def test_lateral_ring_sharded_hlo_collectives():
+    """The shard_map lateral step's compiled HLO contains the halo
+    `collective-permute`s and NO all-gather — the one-permute-per-side
+    contract that keeps halo traffic on ICI (SURVEY §2.11)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    grid = _grid(pad_multiple=8 * 128)
+    fn_sh = lateral_diffusion_forcing_ring(1.0e6, 1.0e5, grid,
+                                           axis_name="cells", n_shards=8)
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 5, (grid.nz, grid.cells))
+
+    class S(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+
+    @jax.jit
+    def sharded(xx):
+        def inner(xl):
+            return fn_sh(S(internal_energy=xl), grid)
+
+        return jax.shard_map(inner, mesh=mesh, in_specs=P(None, "cells"),
+                             out_specs=P(None, "cells"))(xx)
+
+    hlo = sharded.lower(x).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+    assert "all-to-all" not in hlo
