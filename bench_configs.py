@@ -172,19 +172,24 @@ def config2_implicit(tt):
     solver_used = "pcr"
     try:
         tridiag.THOMAS_UNROLL = "full"
+        # r5 final: pair the heat+Richards solves into (2, cells) row ops
+        # (stack_solves="rows"): 218.1M at i96_b512 -- crosses the 2x bar
+        # (212.6M) that plain Thomas (202.9M) and PCR (168M) missed; the
+        # solve owns 44% of the step and the pairing doubles its sublane
+        # utilization (experiments/ab_implicit_r5.py)
         sim_t = tt.initialize(
-            model, tt.ImplicitEuler(dt=900.0, solver="thomas"),
+            model, tt.ImplicitEuler(dt=900.0, solver="thomas",
+                                    stack_solves="rows"),
             initializers={
                 "temperature": lambda x, z: 1.0 + 0.0 * z,
                 "saturation_water_ice": lambda x, z: np.minimum(
                     1.0, 0.5 - 0.05 * z)},
             boundary_conditions=tt.PrescribedSurfaceTemperature(_diurnal_bc()),
         )
-        # full-size r5 sweep: i48_b512 202.9M > i48_b384 197.5 > i96 flat
         med2, path = _best_of_fused(sim_t, steps, 900.0, med,
-                                    inner=48, block=512)
+                                    inner=96, block=512)
         if med2 < med:
-            med, solver_used = med2, "thomas_full_unroll"
+            med, solver_used = med2, "thomas_full_unroll_pair_rows"
     finally:
         tridiag.THOMAS_UNROLL = 2
     if solver_used == "pcr":

@@ -103,6 +103,12 @@ def main():
          dict(inner=96, block=256)),
         ("thomas_full_i144_b384", dict(solver="thomas"),
          dict(inner=144, block=384)),
+        ("thomas_pair_rows_i48_b512", dict(solver="thomas", stack="rows"),
+         dict(inner=48, block=512)),
+        ("thomas_pair_rows_i48_b384", dict(solver="thomas", stack="rows"),
+         dict(inner=48, block=384)),
+        ("thomas_pair_rows_i96_b512", dict(solver="thomas", stack="rows"),
+         dict(inner=96, block=512)),
     ]
     for name, skw, fkw in variants:
         if only and name not in only:

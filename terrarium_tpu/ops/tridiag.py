@@ -127,3 +127,47 @@ def tridiag_solve_pcr(a, b, c, d):
         c = gamma * _shift_up(c, s, 0.0)
         s *= 2
     return d / b
+
+
+def tridiag_solve_pair_rows(sys_a, sys_b):
+    """Solve TWO independent tridiagonal systems of identical shape with
+    one fully-unrolled Thomas sweep whose row operations are ``(2, cells)``
+    pairs — both systems' row k packed into one op.
+
+    Rationale (r5, KERNELS_r05 implicit attribution): on the VPU a
+    ``(1, block)`` row op occupies 1/8 of each vector register's sublanes,
+    and Mosaic issues per-vreg regardless of utilization — so the
+    row-sequential Thomas pays 8x its flop count. Packing the two systems
+    the implicit stepper solves per step (heat + Richards) doubles sublane
+    utilization and halves the sweep's instruction count. Arithmetic per
+    element is identical to two independent solves (row-wise
+    vectorization), so results match `tridiag_solve` bitwise up to FMA
+    contraction. Mosaic-safe: static row slices + concatenates only.
+
+    Args: two ``(a, b, c, d)`` tuples of ``(Nz, cells)`` arrays.
+    Returns: ``(x_a, x_b)``.
+    """
+    (a1, b1, c1, d1), (a2, b2, c2, d2) = sys_a, sys_b
+    n = b1.shape[0]
+
+    def row(x1, x2, k):
+        return jnp.concatenate([x1[k:k + 1], x2[k:k + 1]], axis=0)
+
+    zeros = jnp.zeros_like(row(b1, b2, 0))
+    c_prev = d_prev = zeros
+    cs, ds = [], []
+    for k in range(n):
+        a_k = row(a1, a2, k) if k > 0 else zeros
+        denom = row(b1, b2, k) - a_k * c_prev
+        c_prev = row(c1, c2, k) / denom
+        d_prev = (row(d1, d2, k) - a_k * d_prev) / denom
+        cs.append(c_prev)
+        ds.append(d_prev)
+    x_next = zeros
+    xs = [None] * n
+    for k in range(n - 1, -1, -1):
+        x_next = ds[k] - cs[k] * x_next
+        xs[k] = x_next
+    x_a = jnp.concatenate([xs[k][0:1] for k in range(n)], axis=0)
+    x_b = jnp.concatenate([xs[k][1:2] for k in range(n)], axis=0)
+    return x_a, x_b

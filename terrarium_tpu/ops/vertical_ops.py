@@ -344,11 +344,29 @@ def _face_operands(c, ghost_bottom, ghost_top):
     return upper, lower
 
 
+#: Strength-reduce the hot divisions by grid-coordinate arrays into
+#: multiplies by their (tiny, (Nz,1)-shaped) reciprocals. The roofline
+#: census prices div at ~2.7x mul on this VPU (341 vs 937 G/s) and the
+#: step does ~300 full-tile coordinate divisions per cell*step; computing
+#: the reciprocal on the (Nz, 1) column costs 512x fewer lanes. Changes
+#: results by ~1 ulp (x * (1/c) vs x / c) — goldens regenerate on a
+#: default flip. A/B: experiments/ab_recip_div.py.
+RECIP_COORD_DIV = False
+
+
+def _div_coord(x, d):
+    """``x / d`` for a small coordinate-array denominator (see
+    ``RECIP_COORD_DIV``)."""
+    if RECIP_COORD_DIV:
+        return x * (1.0 / d)
+    return x / d
+
+
 def grad_faces(c, dz_faces, ghost_bottom=None, ghost_top=None):
     """``∂c/∂z`` at all faces: ``(c[f] - c[f-1]) / dz_faces[f]``
     (Oceananigans `∂zᵃᵃᶠ`). Ghosts default to zero-gradient."""
     upper, lower = _face_operands(c, ghost_bottom, ghost_top)
-    return (upper - lower) / dz_faces
+    return _div_coord(upper - lower, dz_faces)
 
 
 def interp_faces_mid(c, ghost_bottom=None, ghost_top=None):
@@ -368,7 +386,7 @@ def interp_faces_min(c, ghost_bottom=None, ghost_top=None):
 def div_faces(q, dz):
     """Center divergence of a face flux: ``(q[k+1] - q[k]) / dz[k]``
     (Oceananigans `∂zᵃᵃᶜ` of a face quantity)."""
-    return (q[1:] - q[:-1]) / dz
+    return _div_coord(q[1:] - q[:-1], dz)
 
 
 def apply_flux_bcs(tend, var_bcs, state, dz, xy=None):

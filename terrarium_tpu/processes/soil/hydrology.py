@@ -207,9 +207,15 @@ class SoilHydrology:
         one reverse cummin, and elementwise arithmetic (``ADJUST_IMPL``)."""
         from ...ops.vertical_ops import cummin_z, cumsum_cummin_z, cumsum_z
 
+        from ...ops.vertical_ops import RECIP_COORD_DIV
+
         sat = state.saturation_water_ice
         dz = grid.dz  # (Nz, 1)
         dz_col = jnp.broadcast_to(dz, sat.shape)
+        # see vertical_ops.RECIP_COORD_DIV: the (Nz, 1) reciprocal is 512x
+        # fewer div lanes than dividing the full (Nz, cells) tiles
+        inv_dz_col = (jnp.broadcast_to(1.0 / dz, sat.shape)
+                      if RECIP_COORD_DIV else None)
 
         # upward sweep (bottom -> top): carry c[k] = excess water [m] spilling
         # past layer k; layer k receives c[k-1] and clamps at saturation 1.
@@ -218,7 +224,9 @@ class SoilHydrology:
             S = cumsum_z(a)
             c = S - jnp.minimum(cummin_z(S), 0.0)
             c_in = shift_z(c, 1)  # zero inflow at the bottom
-            sat_up = jnp.minimum(sat + c_in / dz_col, 1.0)
+            sat_up = jnp.minimum(
+                sat + (c_in * inv_dz_col if inv_dz_col is not None
+                       else c_in / dz_col), 1.0)
 
             surf = None
             if "surface_excess_water" in state:
@@ -244,7 +252,9 @@ class SoilHydrology:
             M_in = shift_z(M, 1)  # zero carry below the bottom
             # w_up = dz + M - M_in  =>  sat_up = 1 + (M - M_in)/dz, which is
             # exactly min(sat + c_in/dz, 1) of the sequential sweep
-            sat_up = 1.0 + (M - M_in) / dz_col
+            sat_up = 1.0 + ((M - M_in) * inv_dz_col
+                            if inv_dz_col is not None
+                            else (M - M_in) / dz_col)
 
             surf = None
             if "surface_excess_water" in state:
@@ -264,7 +274,9 @@ class SoilHydrology:
 
         # every adjusted layer is max(s - c_in/dz, 0), incl. the bottom clip
         # of a residual deficit (mass-balance violation warning case)
-        sat_new = jnp.maximum(sat_up - c2_in / dz_col, 0.0)
+        sat_new = jnp.maximum(
+            sat_up - (c2_in * inv_dz_col if inv_dz_col is not None
+                      else c2_in / dz_col), 0.0)
 
         updates = {"saturation_water_ice": sat_new}
         if self.deficit_pool and "soil_water_deficit" in state:

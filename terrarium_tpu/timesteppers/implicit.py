@@ -138,14 +138,14 @@ class ImplicitEuler:
     bar is the solve's sublane inefficiency (row-sequential (1, block)
     ops use 1/8 of the VPU tile) — experiments/ab_implicit_r5.py.
 
-    ``stack_solves``: solve all implicit systems (heat + Richards) as ONE
-    batched solve with the systems concatenated along the cell axis — the
-    per-column solves are independent, so this is mathematically exact
-    (bitwise up to XLA FMA-contraction choices that vary with array width).
-    Measured 5.6% SLOWER on the N145 chip benchmark
-    (experiments/ab_implicit_stack.py: the four concatenate copies cost more
-    than the halved solver launch count), so it defaults off; kept as a knob
-    for other size regimes.
+    ``stack_solves``: ``True`` — solve all implicit systems (heat +
+    Richards) as ONE batched solve concatenated along the cell axis
+    (measured 5.6% slower at the XLA level and also slower in-VMEM —
+    experiments/ab_implicit_stack.py, ab_implicit_r5.py). ``"rows"`` (r5)
+    — pack the TWO systems' rows into ``(2, cells)`` Thomas sweeps
+    (`ops.tridiag.tridiag_solve_pair_rows`): doubles the fused kernel's
+    sublane utilization on the solve that owns 44% of the implicit step.
+    Defaults off (False) for parity of the XLA path.
     """
 
     dt: float = 900.0
@@ -202,8 +202,19 @@ class ImplicitEuler:
         prog = dict(state.prognostic)
         systems = [(t, _assemble_implicit(t, state, grid, ctx.bcs, dt))
                    for t in terms]
-        if self.stack_solves and len(systems) > 1 and len(
-                {sys_[1][0].shape for sys_ in systems}) == 1:
+        if (self.stack_solves == "rows" and len(systems) == 2
+                and systems[0][1][0].shape == systems[1][1][0].shape):
+            # r5: pack the two systems' rows into (2, cells) ops — doubles
+            # the unrolled Thomas sweep's sublane utilization (see
+            # `tridiag_solve_pair_rows`); solver choice is implied
+            from ..ops.tridiag import tridiag_solve_pair_rows
+
+            (t1, s1), (t2, s2) = systems
+            x1, x2 = tridiag_solve_pair_rows(s1, s2)
+            prog[t1.var] = prog[t1.var] + x1
+            prog[t2.var] = prog[t2.var] + x2
+        elif (self.stack_solves is True and len(systems) > 1 and len(
+                {sys_[1][0].shape for sys_ in systems}) == 1):
             # one batched solve over all systems (independent columns:
             # concatenation along cells is exact)
             a, b, c, rhs = (jnp.concatenate([s[1][i] for s in systems], axis=1)
