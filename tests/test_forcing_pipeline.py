@@ -141,3 +141,45 @@ def test_run_fused_lazy_series_provider():
         pipe.run_fused(sim, steps=32, dt=1800.0)
         out[key] = np.asarray(sim.state.prognostic["internal_energy"])
     np.testing.assert_array_equal(out["lazy"], out["array"])
+
+
+def test_run_fused_multi_variable_and_static_sources():
+    """run_fused with TWO streamed series variables plus a static source
+    (the coupled-forcing shape): matches the device-resident reference."""
+    cells, nz = 16, 6
+    hours = np.arange(0.0, 30 * 3600.0, 3600.0)
+    rng = np.random.default_rng(23)
+    ta = (5.0 + 3.0 * np.sin(2 * np.pi * hours[:, None] / 86400.0)
+          + rng.normal(0, 0.3, (hours.size, cells))).astype(np.float32)
+    tb = (2.0 + 0.5 * np.sin(2 * np.pi * hours[:, None] / (5 * 86400.0))
+          + rng.normal(0, 0.1, (hours.size, cells))).astype(np.float32)
+
+    def build(sources):
+        grid = tt.ColumnGrid.of(cells=cells,
+                                spacing=tt.ExponentialSpacing(N=nz),
+                                nf=np.float32)
+        model = tt.SoilModel(grid=grid)
+        bcs = tt.merge_boundary_conditions(
+            tt.PrescribedSurfaceTemperature("surface_temperature"),
+            tt.PrescribedBottomTemperature("bottom_temperature"))
+        return tt.initialize(
+            model, tt.ForwardEuler(dt=1800.0),
+            initializers={"temperature": 1.0, "saturation_water_ice": 0.5},
+            boundary_conditions=bcs,
+            input_sources=sources)
+
+    steps = 48
+    series = {"surface_temperature": ta, "bottom_temperature": tb}
+    full = tt.TimeSeriesInputSource(times=hours, series=series)
+    sim_ref = build((full,))
+    sim_ref.run(steps=steps, dt=1800.0)
+
+    pipe = ChunkedForcingPipeline(times=hours, series=series, window=8)
+    sim_f = build((pipe,))
+    sim_f.fused_inner_steps = 4
+    pipe.run_fused(sim_f, steps=steps, dt=1800.0)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_f.state.prognostic["internal_energy"]),
+        np.asarray(sim_ref.state.prognostic["internal_energy"]),
+        rtol=3e-5, atol=1e-5)
