@@ -203,3 +203,77 @@ def test_stacked_solve_matches_sequential():
     np.testing.assert_allclose(np.asarray(a.saturation_water_ice),
                                np.asarray(b.saturation_water_ice),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_tridiag_thomas_full_unroll_matches_scan(rng):
+    """The fully-unrolled Thomas form (`THOMAS_UNROLL="full"`, the
+    Mosaic-lowerable variant used inside the fused kernel) solves the same
+    systems as the scan form to tight tolerance."""
+    from terrarium_tpu.ops import tridiag
+
+    nz, cells = 30, 8
+    a = rng.uniform(0.1, 1.0, (nz, cells))
+    c = rng.uniform(0.1, 1.0, (nz, cells))
+    b = 2.0 + a + c
+    d = rng.normal(size=(nz, cells))
+    args = tuple(jnp.asarray(v) for v in (a, b, c, d))
+    x_scan = np.asarray(tridiag_solve(*args))
+    try:
+        tridiag.THOMAS_UNROLL = "full"
+        x_full = np.asarray(tridiag_solve(*args))
+    finally:
+        tridiag.THOMAS_UNROLL = 2
+    np.testing.assert_allclose(x_full, x_scan, rtol=1e-12)
+
+
+def test_tridiag_pair_rows_matches_independent(rng):
+    """`tridiag_solve_pair_rows` (r5: heat+Richards rows packed into
+    (2, cells) sweep ops — 2x sublane utilization in the fused kernel)
+    solves both systems identically to independent solves."""
+    from terrarium_tpu.ops.tridiag import tridiag_solve_pair_rows
+
+    nz, cells = 30, 8
+
+    def system():
+        a = rng.uniform(0.1, 1.0, (nz, cells))
+        c = rng.uniform(0.1, 1.0, (nz, cells))
+        b = 2.0 + a + c
+        d = rng.normal(size=(nz, cells))
+        return tuple(jnp.asarray(v) for v in (a, b, c, d))
+
+    A, B = system(), system()
+    xa, xb = tridiag_solve_pair_rows(A, B)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(tridiag_solve(*A)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(tridiag_solve(*B)),
+                               rtol=1e-12)
+
+
+def test_implicit_stack_rows_matches_default():
+    """ImplicitEuler(stack_solves="rows") reproduces the independent-solve
+    stepper on a coupled heat+Richards column batch."""
+    grid = tt.ColumnGrid.of(cells=24, spacing=tt.ExponentialSpacing(N=12),
+                            nf=np.float64)
+    props = tt.ConstantSoilHydraulics(
+        swrc=tt.VanGenuchten(alpha=2.0, n=2.0),
+        unsat_hydraulic_cond=tt.UnsatKVanGenuchten())
+    soil = tt.SoilEnergyWaterCarbon(hydrology=tt.SoilHydrology(
+        vertical_flow=tt.RichardsEq(), hydraulic_properties=props))
+    model = tt.SoilModel(grid=grid, soil=soil)
+
+    def run(stack):
+        sim = tt.initialize(
+            model, tt.ImplicitEuler(dt=3600.0, solver="thomas",
+                                    stack_solves=stack),
+            initializers={"temperature": 2.0,
+                          "saturation_water_ice":
+                              lambda x, z: np.minimum(1.0, 0.6 - 0.03 * z)},
+            boundary_conditions=tt.PrescribedSurfaceTemperature(-5.0))
+        sim.run(steps=6, dt=3600.0)
+        return sim.state
+
+    s_ref, s_rows = run(False), run("rows")
+    for name in ("internal_energy", "saturation_water_ice"):
+        np.testing.assert_allclose(
+            np.asarray(s_rows.prognostic[name]),
+            np.asarray(s_ref.prognostic[name]), rtol=1e-10, err_msg=name)
