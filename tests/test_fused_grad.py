@@ -265,3 +265,63 @@ def test_fused_grad_heun_stepper():
     v_f, g_f = jax.jit(jax.value_and_grad(loss_fused))(X0)
     np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-10)
     np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-8)
+
+
+def test_fused_grad_coupled_land_model_xy_rank2():
+    """The fused gradient rollout handles the FULL coupled LandModel
+    (SEB + surface hydrology + PALADYN vegetation + Richards soil) with
+    the XY-rank-2 kernel layout — differentiating a mixed
+    temperature/carbon objective wrt the mineral conductivity through
+    both backward modes, at machine precision vs the XLA remat rollout."""
+    cells, nz = 32, 8
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float64)
+
+    def model_fn(k_mineral):
+        tp = tt.SoilThermalProperties(
+            conductivities=tt.SoilThermalConductivities(mineral=k_mineral))
+        soil = tt.SoilEnergyWaterCarbon(
+            strat=tt.HomogeneousStratigraphy(
+                texture=tt.SoilTexture.preset("loam")),
+            energy=tt.SoilEnergyBalance(thermal_properties=tp),
+            hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+        return tt.LandModel(grid=grid,
+                            vegetation=tt.VegetationCarbon.consistent_units(),
+                            soil=soil)
+
+    static = tt.FieldInputSource(fields={
+        "surface_longwave_down": 330.0, "rainfall": 4.0e-8,
+        "windspeed": 3.0, "surface_shortwave_down": 300.0,
+        "air_temperature": 10.0, "specific_humidity": 0.006})
+    sim = tt.initialize(
+        model_fn(3.8), tt.ForwardEuler(dt=600.0),
+        initializers={"temperature": 8.0, "saturation_water_ice": 0.6,
+                      "carbon_vegetation": 2.0,
+                      "vegetation_area_fraction": 0.5},
+        input_sources=(static,))
+
+    def objective(out):
+        return (jnp.mean(out.temperature)
+                + jnp.mean(out.prognostic["carbon_vegetation"]))
+
+    def loss_xla(k):
+        roll = make_rollout_fn(model_fn(k), sim.timestepper, sim.ctx,
+                               sim.input_sources, steps=8, remat=True,
+                               lean=True)
+        return objective(roll(sim.state, 600.0))
+
+    def loss_f(k, bwd):
+        roll = make_fused_grad_rollout(
+            model_fn, sim.timestepper, sim.ctx, sim.input_sources, steps=8,
+            dt=600.0, inner_steps=4, block_cells=32, xy_rank2=True,
+            interpret=True, bwd=bwd)
+        return objective(roll(sim.state, k))
+
+    v_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(3.8)
+    for bwd in ("xla", "pallas"):
+        v_f, g_f = jax.jit(jax.value_and_grad(
+            lambda k: loss_f(k, bwd)))(3.8)
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-12,
+                                   err_msg=bwd)
+        np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-10,
+                                   err_msg=bwd)
