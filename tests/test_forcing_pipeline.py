@@ -183,3 +183,55 @@ def test_run_fused_multi_variable_and_static_sources():
         np.asarray(sim_f.state.prognostic["internal_energy"]),
         np.asarray(sim_ref.state.prognostic["internal_energy"]),
         rtol=3e-5, atol=1e-5)
+
+
+def test_run_fused_coupled_land_model():
+    """Streamed forcing through the COUPLED LandModel's fused kernel
+    (xy_rank2 auto): the production composition of io/forcing_pipeline
+    with the BASELINE #4 model family."""
+    cells, nz = 24, 6
+    grid = tt.ColumnGrid.of(cells=cells, spacing=tt.ExponentialSpacing(N=nz),
+                            nf=np.float32)
+    soil = tt.SoilEnergyWaterCarbon(
+        strat=tt.HomogeneousStratigraphy(
+            texture=tt.SoilTexture.preset("loam")),
+        hydrology=tt.SoilHydrology(vertical_flow=tt.RichardsEq()))
+    model = tt.LandModel(grid=grid,
+                         vegetation=tt.VegetationCarbon.consistent_units(),
+                         soil=soil)
+    hours = np.arange(0.0, 30 * 3600.0, 3600.0)
+    day = hours / 86400.0
+    sw = (600.0 * np.maximum(0.0, np.sin(2 * np.pi * (day[:, None] - 0.25)))
+          * np.ones((1, cells))).astype(np.float32)
+    ta = ((10.0 + 5.0 * np.sin(2 * np.pi * (day[:, None] - 0.3)))
+          * np.ones((1, cells))).astype(np.float32)
+    series = {"surface_shortwave_down": sw, "air_temperature": ta}
+    static = tt.FieldInputSource(fields={"surface_longwave_down": 330.0,
+                                         "rainfall": 4.0e-8,
+                                         "windspeed": 3.0,
+                                         "specific_humidity": 0.006})
+
+    def build(sources):
+        return tt.initialize(
+            model, tt.ForwardEuler(dt=1800.0),
+            initializers={"temperature": 8.0, "saturation_water_ice": 0.6,
+                          "carbon_vegetation": 2.0,
+                          "vegetation_area_fraction": 0.5},
+            input_sources=sources)
+
+    steps = 32
+    full = tt.TimeSeriesInputSource(times=hours, series=series)
+    sim_ref = build((full, static))
+    sim_ref.run(steps=steps, dt=1800.0)
+
+    pipe = ChunkedForcingPipeline(times=hours, series=series, window=8)
+    sim_f = build((pipe, static))
+    sim_f.fused_inner_steps = 4  # block/xy_rank2 auto (coupled)
+    pipe.run_fused(sim_f, steps=steps, dt=1800.0)
+
+    for name in ("internal_energy", "saturation_water_ice",
+                 "carbon_vegetation"):
+        np.testing.assert_allclose(
+            np.asarray(sim_f.state.prognostic[name]),
+            np.asarray(sim_ref.state.prognostic[name]),
+            rtol=5e-5, atol=1e-6, err_msg=name)
